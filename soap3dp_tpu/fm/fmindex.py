@@ -1,0 +1,270 @@
+"""Batched FM-index primitives in JAX (uint32 throughout).
+
+These are the TPU equivalents of the reference's GPU occ lookup and
+backward search (GPUBWTOccValue, DV-Kernel.cu:256; contBackwardSearch,
+DV-Kernel.cu:337-480) and of the host-side SA decode
+(BWTSaValue, 2bwt-lib/BWT.c:1694) and check-and-extend verification
+(CEPackedMismatchMatching, 2bwt-flex/SRA2BWTCheckAndExtend.h:57-66).
+
+Design notes (TPU-first):
+
+* Everything is batched over a leading axis; one "lane" = one search
+  state. There is no per-lane control flow — loops run to static
+  bounds with masked updates, so XLA sees fixed shapes only.
+* One Occ query = one gather of a 48-byte interleaved fmi row
+  (occ4 + 8 BWT words) + an in-register 2-bit popcount. The reference
+  needs two memory streams for the same query (occ table + BWT text).
+* SA decode uses a value-sampled SA, so the LF walk is a static
+  ``sa_rate``-iteration loop; every step costs one fmi-row gather and
+  one mark-row gather.
+* Positions/intervals are uint32 (4 Gbp limit, as the reference,
+  README.md section 2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soap3dp_tpu.index.builder import Index
+
+U32 = jnp.uint32
+_LANES = jnp.uint32(0x5555_5555)  # one bit per 2-bit base slot
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceIndex:
+    """HBM-resident index arrays. Host metadata stays on the Index."""
+
+    fmi: jax.Array         # (nb, 12) uint32
+    mark: jax.Array        # (nb, 5) uint32
+    sa_samples: jax.Array  # (num_samples,) uint32
+    counts: jax.Array      # (5,) uint32
+    pac: jax.Array         # (n_words + pad,) uint32
+    lut_lo: jax.Array      # (4^lut_k,) uint32
+    lut_hi: jax.Array      # (4^lut_k,) uint32
+    primary: jax.Array     # () uint32
+    n: jax.Array           # () uint32
+    # static (python) fields — part of the jit cache key
+    sa_rate: int = dataclasses.field(metadata={"static": True})
+    lut_k: int = dataclasses.field(metadata={"static": True})
+
+    def tree_flatten(self):
+        children = (self.fmi, self.mark, self.sa_samples, self.counts,
+                    self.pac, self.lut_lo, self.lut_hi, self.primary, self.n)
+        return children, (self.sa_rate, self.lut_k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, sa_rate=aux[0], lut_k=aux[1])
+
+
+def device_index(index: Index, sharding=None) -> DeviceIndex:
+    """Upload a host Index to the accelerator (replicated by default).
+
+    The analog of GPUINDEXUpload (alignment.cu:27-116).
+    """
+    put = partial(jax.device_put, device=sharding) if sharding is not None else jnp.asarray
+    return DeviceIndex(
+        fmi=put(np.asarray(index.fmi)),
+        mark=put(np.asarray(index.mark)),
+        sa_samples=put(np.asarray(index.sa_samples)),
+        counts=put(np.asarray(index.counts)),
+        pac=put(np.asarray(index.pac)),
+        lut_lo=put(np.asarray(index.lut_lo)),
+        lut_hi=put(np.asarray(index.lut_hi)),
+        primary=jnp.uint32(index.primary),
+        n=jnp.uint32(index.n),
+        sa_rate=int(index.sa_rate),
+        lut_k=int(index.lut_k),
+    )
+
+
+# ------------------------------------------------------------------
+# Occ queries
+# ------------------------------------------------------------------
+
+def _fmi_row(fmi: jax.Array, kp: jax.Array) -> jax.Array:
+    """Gather the interleaved block row for packed-BWT position kp."""
+    b = (kp >> 7).astype(jnp.int32)
+    return fmi[b]  # (..., 12)
+
+
+def _count_in_row(row: jax.Array, c: jax.Array, q: jax.Array) -> jax.Array:
+    """#occurrences of base c in the first q (0..127) bases of a block row."""
+    words = row[..., 4:12]                                  # (..., 8) uint32
+    pattern = (c.astype(U32) * _LANES)[..., None]
+    x = words ^ pattern
+    match = (~(x | (x >> 1))) & _LANES                      # bit set where base == c
+    j16 = jnp.arange(8, dtype=jnp.int32) * 16
+    m = jnp.clip(q[..., None].astype(jnp.int32) - j16, 0, 16)
+    lane_mask = jnp.where(m == 0, U32(0), _LANES >> (2 * (16 - m)).astype(U32))
+    return jax.lax.population_count(match & lane_mask).sum(axis=-1).astype(U32)
+
+
+def occ(idx: DeviceIndex, c: jax.Array, k: jax.Array) -> jax.Array:
+    """Occ(c, k): occurrences of base c in the conceptual BWT[0:k].
+
+    k in [0, n+1); the sentinel row (primary) is skipped via the index
+    adjustment, as in the reference (2bwt-lib/BWT.c BWTOccValue).
+    """
+    kp = k - (k > idx.primary).astype(U32)
+    row = _fmi_row(idx.fmi, kp)
+    base = jnp.take_along_axis(row[..., :4], c.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+    return base + _count_in_row(row, c, kp & U32(127))
+
+
+def backward_extend(idx: DeviceIndex, l: jax.Array, r: jax.Array, c: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+    """One backward-search step: prepend base c to the current pattern."""
+    cc = idx.counts[c.astype(jnp.int32)]
+    return cc + occ(idx, c, l), cc + occ(idx, c, r)
+
+
+# ------------------------------------------------------------------
+# Backward search over read segments (the seed search)
+# ------------------------------------------------------------------
+
+def backward_search(
+    idx: DeviceIndex,
+    seqs: jax.Array,     # (B, L) uint8 codes
+    start: jax.Array,    # (B,) int32 segment start within the read
+    length: jax.Array,   # (B,) int32 segment length (0 allowed -> full interval)
+    max_steps: int,      # static bound: max segment length (after LUT jumpstart)
+    use_lut: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """SA interval of each read segment, searched right-to-left.
+
+    Fixed-shape: every lane runs ``max_steps`` iterations with masked
+    updates. With the LUT jumpstart the first lut_k characters of the
+    (right-to-left) search are replaced by one table lookup — the
+    reference's LT (2bwt-flex/LT.h:49-56) plays the same role.
+    """
+    B, L = seqs.shape
+    n1 = idx.n + U32(1)
+    k = idx.lut_k
+
+    if use_lut:
+        # k-mer index of the segment's last k characters, MSB-first.
+        tail = start + length - k
+        j = jnp.arange(k, dtype=jnp.int32)
+        pos = jnp.clip(tail[:, None] + j[None, :], 0, L - 1)
+        ch = jnp.take_along_axis(seqs, pos, axis=1).astype(jnp.uint32)
+        shifts = (2 * (k - 1 - j)).astype(jnp.uint32)
+        m = (ch << shifts[None, :]).sum(axis=1, dtype=jnp.uint32)
+        can_lut = length >= k
+        l0 = jnp.where(can_lut, idx.lut_lo[m.astype(jnp.int32)], U32(0))
+        r0 = jnp.where(can_lut, idx.lut_hi[m.astype(jnp.int32)], n1)
+        rem = jnp.where(can_lut, length - k, length)
+    else:
+        l0 = jnp.zeros((B,), U32)
+        r0 = jnp.broadcast_to(n1, (B,))
+        rem = length
+
+    def step(s, carry):
+        l, r = carry
+        # process character at start + rem - 1 - s (right-to-left)
+        p = jnp.clip(start + rem - 1 - s, 0, L - 1)
+        c = jnp.take_along_axis(seqs, p[:, None], axis=1)[:, 0].astype(U32)
+        l2, r2 = backward_extend(idx, l, r, c)
+        active = (s < rem) & (l < r)
+        return jnp.where(active, l2, l), jnp.where(active, r2, r)
+
+    l, r = jax.lax.fori_loop(0, max_steps, step, (l0, r0))
+    return l, r
+
+
+# ------------------------------------------------------------------
+# SA decode: row -> text position
+# ------------------------------------------------------------------
+
+def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
+    """Text position of each SA row via a bounded LF walk.
+
+    Replaces BWTSaValue (2bwt-lib/BWT.c:1694). The walk is exactly
+    ``sa_rate`` masked iterations: SA values decrease by 1 per LF step,
+    so a row whose value is a multiple of sa_rate is reached within
+    sa_rate-1 steps and found via the mark bitvector.
+    """
+    rows = jnp.where(valid, rows, U32(0))
+    done = ~valid
+    result = jnp.zeros_like(rows)
+
+    def step(t, carry):
+        rows, done, result = carry
+        # --- marked? ---
+        mb = (rows >> 7).astype(jnp.int32)
+        mrow = idx.mark[mb]                       # (M, 5)
+        mo = rows & U32(127)
+        wsel = (mo >> 5).astype(jnp.int32)
+        bsel = mo & U32(31)
+        words = mrow[:, 1:5]                      # (M, 4)
+        word = jnp.take_along_axis(words, wsel[:, None], axis=1)[:, 0]
+        is_marked = ((word >> bsel) & U32(1)) == U32(1)
+        # rank within block: full words below wsel + partial bits below bsel
+        w_idx = jnp.arange(4, dtype=jnp.int32)[None, :]
+        partial = jnp.where(bsel == 0, U32(0),
+                            U32(0xFFFFFFFF) >> (U32(32) - bsel))[:, None]
+        wmask = jnp.where(w_idx < wsel[:, None], U32(0xFFFFFFFF),
+                          jnp.where(w_idx == wsel[:, None], partial, U32(0)))
+        rank = mrow[:, 0] + jax.lax.population_count(words & wmask).sum(axis=1).astype(U32)
+        value = idx.sa_samples[jnp.minimum(rank, U32(len(idx.sa_samples) - 1)).astype(jnp.int32)] + U32(t)
+        newly = is_marked & ~done
+        result = jnp.where(newly, value, result)
+        done = done | is_marked
+        # --- LF step (reuses the fmi row for char extraction and occ) ---
+        kp = rows - (rows > idx.primary).astype(U32)
+        row = _fmi_row(idx.fmi, kp)
+        q = kp & U32(127)
+        word_b = jnp.take_along_axis(row[:, 4:12], (q >> 4).astype(jnp.int32)[:, None], axis=1)[:, 0]
+        c = (word_b >> (2 * (q & U32(15)))) & U32(3)
+        base = jnp.take_along_axis(row[:, :4], c.astype(jnp.int32)[:, None], axis=1)[:, 0]
+        lf = idx.counts[c.astype(jnp.int32)] + base + _count_in_row(row, c, q)
+        rows = jnp.where(done, rows, lf)
+        return rows, done, result
+
+    rows, done, result = jax.lax.fori_loop(0, idx.sa_rate, step, (rows, done, result))
+    return result
+
+
+# ------------------------------------------------------------------
+# Check-and-extend verification against the packed genome
+# ------------------------------------------------------------------
+
+def extract_genome(idx: DeviceIndex, tp: jax.Array, L: int) -> jax.Array:
+    """Genome codes at [tp, tp+L) as (M, L) uint8-like uint32 values.
+
+    One contiguous gather of ceil(L/16)+1 words per lane, then an
+    in-register funnel shift to align to the 2-bit grid.
+    """
+    W = (L + 15) // 16 + 1
+    w0 = (tp >> 4).astype(jnp.int32)
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    words = idx.pac[jnp.clip(w0[:, None] + j, 0, idx.pac.shape[0] - 1)]  # (M, W)
+    sh = (2 * (tp & U32(15)))[:, None]
+    lo = words[:, :-1] >> sh
+    hi_sh = (U32(32) - sh) & U32(31)
+    hi = jnp.where(sh == 0, U32(0), words[:, 1:] << hi_sh)
+    aligned = lo | hi                                        # (M, W-1)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    codes = (aligned[:, :, None] >> shifts) & U32(3)
+    return codes.reshape(codes.shape[0], -1)[:, :L]
+
+
+def count_mismatches(
+    idx: DeviceIndex,
+    tp: jax.Array,        # (M,) uint32 candidate text positions
+    reads: jax.Array,     # (M, L) uint8 codes (already strand-oriented)
+    read_len: jax.Array,  # (M,) int32
+) -> jax.Array:
+    """Hamming distance between each read and the genome window at tp."""
+    L = reads.shape[1]
+    g = extract_genome(idx, tp, L)
+    pos_ok = jnp.arange(L, dtype=jnp.int32)[None, :] < read_len[:, None]
+    mism = (g != reads.astype(U32)) & pos_ok
+    return mism.sum(axis=1).astype(jnp.int32)

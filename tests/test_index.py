@@ -1,0 +1,141 @@
+"""Index construction tests against brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from soap3dp_tpu.index.builder import build_index, load_index, save_index
+from soap3dp_tpu.index.suffix_array import bwt_from_sa, suffix_array
+from soap3dp_tpu.utils import dna
+from tests.conftest import make_genome
+
+
+def brute_suffix_array(codes: np.ndarray) -> np.ndarray:
+    n = len(codes)
+    suffixes = [bytes(codes[i:].tolist()) for i in range(n)] + [b""]
+    # sentinel: shorter prefix sorts first, which bytes comparison gives.
+    order = sorted(range(n + 1), key=lambda i: bytes(codes[i:].tolist()))
+    return np.asarray(order, dtype=np.uint32)
+
+
+def test_pack_unpack_roundtrip(rng):
+    codes = rng.integers(0, 4, size=1000).astype(np.uint8)
+    words = dna.pack_codes(codes)
+    assert np.array_equal(dna.unpack_words(words, 1000), codes)
+
+
+def test_revcomp():
+    codes = dna.encode(b"ACGTN")
+    assert dna.decode(codes) == b"ACGTG"  # N -> G
+    assert dna.decode(dna.revcomp_codes(codes)) == b"CACGT"
+
+
+@pytest.mark.parametrize("n", [1, 2, 17, 100, 1000])
+def test_suffix_array_matches_bruteforce(rng, n):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    assert np.array_equal(suffix_array(codes), brute_suffix_array(codes))
+
+
+def test_bwt_lf_property(rng):
+    """LF-mapping on the built structures reproduces the suffix array."""
+    codes = rng.integers(0, 4, size=500).astype(np.uint8)
+    sa = suffix_array(codes)
+    bwt, primary = bwt_from_sa(codes, sa)
+    n = len(codes)
+    # reconstruct text by walking LF from the row of suffix 0
+    counts = np.zeros(4, dtype=np.int64)
+    for c in bwt:
+        counts[c] += 1
+    C = np.zeros(4, dtype=np.int64)
+    C[0] = 1
+    for c in range(1, 4):
+        C[c] = C[c - 1] + counts[c - 1]
+
+    occ_prefix = np.zeros((n + 1, 4), dtype=np.int64)
+    for c in range(4):
+        occ_prefix[1:, c] = np.cumsum(bwt == c)
+
+    def occ(c, k):
+        kp = k - (1 if k > primary else 0)
+        return occ_prefix[kp, c]
+
+    # invert the BWT: start at the sentinel row (row 0, SA[0] == n);
+    # each LF step prepends one character of the text.
+    row = 0
+    text = []
+    for _ in range(n):
+        kp = row - (1 if row > primary else 0)
+        c = bwt[kp]
+        text.append(c)
+        row = C[c] + occ(c, row)
+    assert row == primary  # ends at the SA==0 row
+    assert np.array_equal(np.asarray(text[::-1], dtype=np.uint8), codes)
+
+
+def test_fmi_occ_table(rng):
+    g = make_genome(rng, 5000)
+    idx = build_index(g, sa_rate=4)
+    sa = suffix_array(g.codes)
+    bwt, primary = bwt_from_sa(g.codes, sa)
+    # occ columns must equal prefix counts at block boundaries
+    nb = idx.fmi.shape[0]
+    for b in [0, 1, nb // 2, nb - 1]:
+        for c in range(4):
+            assert idx.fmi[b, c] == np.sum(bwt[: b * 128] == c)
+    # words decode back to the bwt
+    words = idx.fmi[:, 4:12].reshape(-1)
+    assert np.array_equal(dna.unpack_words(words, len(bwt)), bwt)
+
+
+def test_sa_sampling_structures(rng):
+    g = make_genome(rng, 3000)
+    idx = build_index(g, sa_rate=8)
+    sa = suffix_array(g.codes)
+    marked = (sa % 8) == 0
+    assert idx.sa_samples.shape[0] == marked.sum()
+    # spot-check rank directory
+    rows = np.flatnonzero(marked)
+    for row in rows[:: max(1, len(rows) // 20)]:
+        b, o = row >> 7, row & 127
+        w = idx.mark[b, 1 + (o >> 5)]
+        assert (w >> (o & 31)) & 1 == 1
+
+
+def test_lut_intervals(rng):
+    g = make_genome(rng, 4000)
+    idx = build_index(g, sa_rate=4, lut_k=4)
+    sa = suffix_array(g.codes)
+    codes = g.codes
+    n = len(codes)
+    # for a few k-mers, the LUT interval must equal the brute-force row range
+    for m in [0, 1, 77, 200, 255]:
+        kmer = [(m >> (2 * (3 - j))) & 3 for j in range(4)]
+        match = np.zeros(n + 1, dtype=bool)
+        for r in range(n + 1):
+            s = sa[r]
+            if s + 4 <= n and all(codes[s + j] == kmer[j] for j in range(4)):
+                match[r] = True
+        rows = np.flatnonzero(match)
+        lo, hi = int(idx.lut_lo[m]), int(idx.lut_hi[m])
+        if len(rows):
+            assert lo == rows[0] and hi == rows[-1] + 1
+        else:
+            assert lo == hi
+
+
+def test_save_load_roundtrip(tmp_path, small_index):
+    save_index(small_index, tmp_path / "idx")
+    loaded = load_index(tmp_path / "idx")
+    assert loaded.n == small_index.n
+    assert loaded.primary == small_index.primary
+    assert np.array_equal(loaded.fmi, small_index.fmi)
+    assert np.array_equal(loaded.sa_samples, small_index.sa_samples)
+    assert loaded.names == small_index.names
+
+
+def test_ambiguity_regions(rng):
+    g = make_genome(rng, 2000, n_run=(500, 25))
+    assert g.amb_lengths.max() == 25
+    starts, ends = g.excluded_region_mask()
+    assert len(starts) == 1 and starts[0] == 500 and ends[0] == 525
+    # N encoded as G
+    assert np.all(g.codes[500:525] == dna.G)
