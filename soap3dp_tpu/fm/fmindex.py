@@ -268,3 +268,55 @@ def count_mismatches(
     pos_ok = jnp.arange(L, dtype=jnp.int32)[None, :] < read_len[:, None]
     mism = (g != reads.astype(U32)) & pos_ok
     return mism.sum(axis=1).astype(jnp.int32)
+
+
+def pack_reads(codes: jax.Array, max_len: int | None = None) -> jax.Array:
+    """Pack (B, L) uint8 codes into (B, ceil(L/16)) uint32 words (device).
+
+    Same LSB-first 2-bit layout as the genome, so verification is a
+    pure word-domain XOR/popcount (the TPU equivalent of the
+    reference's SSE check-and-extend, ssse3_popcount.cpp).
+    """
+    B, L = codes.shape
+    W = ((max_len or L) + 15) // 16
+    padded = jnp.zeros((B, W * 16), dtype=U32).at[:, :L].set(codes.astype(U32))
+    lanes = padded.reshape(B, W, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    return (lanes << shifts).sum(axis=-1, dtype=U32)
+
+
+def aligned_genome_words(idx: DeviceIndex, tp: jax.Array, W: int) -> jax.Array:
+    """Packed genome words for [tp, tp+16*W), funnel-shifted to the 2-bit grid."""
+    w0 = (tp >> 4).astype(jnp.int32)
+    j = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    words = idx.pac[jnp.clip(w0[:, None] + j, 0, idx.pac.shape[0] - 1)]  # (M, W+1)
+    sh = (2 * (tp & U32(15)))[:, None]
+    lo = words[:, :-1] >> sh
+    hi = jnp.where(sh == 0, U32(0), words[:, 1:] << ((U32(32) - sh) & U32(31)))
+    return lo | hi  # (M, W)
+
+
+def count_mismatches_packed(
+    idx: DeviceIndex,
+    tp: jax.Array,          # (M,) uint32 candidate text positions
+    read_words: jax.Array,  # (M, W) uint32 packed oriented reads
+    read_len: jax.Array,    # (M,) int32
+) -> jax.Array:
+    """Hamming distance in the packed 2-bit domain: one XOR+popcount per word."""
+    M, W = read_words.shape
+    g = aligned_genome_words(idx, tp, W)
+    x = g ^ read_words
+    bits = (x | (x >> 1)) & _LANES  # one bit per mismatching base slot
+    j16 = jnp.arange(W, dtype=jnp.int32)[None, :] * 16
+    m = jnp.clip(read_len[:, None] - j16, 0, 16)
+    lane_mask = jnp.where(m == 0, U32(0), _LANES >> (2 * (16 - m)).astype(U32))
+    return jax.lax.population_count(bits & lane_mask).sum(axis=1).astype(jnp.int32)
+
+
+def revcomp_reads(reads: jax.Array, lens: jax.Array) -> jax.Array:
+    """Reverse-complement length-aware: rc[i] = 3 - read[len-1-i], zero-padded."""
+    B, L = reads.shape
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = jnp.clip(lens[:, None] - 1 - i, 0, L - 1)
+    vals = 3 - jnp.take_along_axis(reads, src, axis=1)
+    return jnp.where(i < lens[:, None], vals, 0).astype(reads.dtype)
