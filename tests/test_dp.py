@@ -1,0 +1,134 @@
+"""Wavefront DP engine vs the scalar-semantics oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soap3dp_tpu.kernels import banded_dp
+from soap3dp_tpu.kernels.banded_dp import DPScores, dp_forward, dp_traceback
+from tests import dp_oracle
+
+SC = DPScores()
+SCORES = (SC.match, SC.mismatch, SC.gap_open, SC.gap_ext)
+
+OPCH = {banded_dp.OP_MATCH: "M", banded_dp.OP_MISMATCH: "m",
+        banded_dp.OP_INS: "I", banded_dp.OP_DEL: "D", banded_dp.OP_CLIP: "S"}
+
+
+def runs_from_oracle(pat):
+    runs = []
+    for p in pat:
+        op, n = (p if isinstance(p, tuple) else (p, 1))
+        if n == 0:
+            continue
+        if runs and runs[-1][0] == op:
+            runs[-1][1] += n
+        else:
+            runs.append([op, n])
+    return [(o, n) for o, n in runs]
+
+
+def runs_from_engine(ops, cnts, nrun, p):
+    return [(OPCH[int(ops[p, r])], int(cnts[p, r])) for r in range(int(nrun[p]))
+            if int(cnts[p, r]) > 0]
+
+
+def mutate(rng, seq, nsub, nins, ndel):
+    out = list(seq)
+    for _ in range(ndel):
+        if len(out) > 4:
+            del out[rng.integers(0, len(out))]
+    for _ in range(nins):
+        out.insert(rng.integers(0, len(out) + 1), rng.integers(0, 4))
+    for _ in range(nsub):
+        p = rng.integers(0, len(out))
+        out[p] = (out[p] + rng.integers(1, 4)) % 4
+    return np.asarray(out, dtype=np.uint8)
+
+
+def make_problems(rng, P, Lr, Lw, with_anchor=False):
+    wins = rng.integers(0, 4, size=(P, Lw)).astype(np.uint8)
+    reads = np.zeros((P, Lr), dtype=np.uint8)
+    rlens = np.zeros(P, dtype=np.int32)
+    for p in range(P):
+        off = rng.integers(0, Lw // 3)
+        span = rng.integers(Lr // 2, Lr)
+        piece = mutate(rng, wins[p, off:off + span],
+                       rng.integers(0, 4), rng.integers(0, 3), rng.integers(0, 3))
+        piece = piece[:Lr]
+        reads[p, :len(piece)] = piece
+        rlens[p] = len(piece)
+    clip_l = rng.integers(0, 6, size=P).astype(np.int32)
+    clip_r = rng.integers(0, 6, size=P).astype(np.int32)
+    if with_anchor:
+        anchor_l = rng.integers(2, Lw, size=P).astype(np.int32)
+        anchor_r = rng.integers(0, Lw // 2, size=P).astype(np.int32)
+    else:
+        anchor_l = np.full(P, Lw + 1, dtype=np.int32)
+        anchor_r = np.zeros(P, dtype=np.int32)
+    wlens = np.full(P, Lw, dtype=np.int32)
+    return reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r
+
+
+@pytest.mark.parametrize("with_anchor", [False, True])
+def test_forward_matches_oracle(rng, with_anchor):
+    P, Lr, Lw = 32, 24, 48
+    prob = make_problems(rng, P, Lr, Lw, with_anchor)
+    reads, rlens, wins, wlens, cl, cr, al, ar = prob
+    bS, bI, bJ, bC, _ = dp_forward(*[jnp.asarray(x) for x in prob], sc=SC)
+    bS, bI, bJ, bC = map(np.asarray, (bS, bI, bJ, bC))
+    for p in range(P):
+        H, Dt, best, cnt = dp_oracle.oracle_forward(
+            reads[p, :rlens[p]], wins[p], cl[p], cr[p], al[p], ar[p], SCORES)
+        assert bS[p] == best[0], p
+        assert (bJ[p], bI[p]) == (best[1], best[2]), p
+        assert bC[p] == cnt, p
+
+
+@pytest.mark.parametrize("with_anchor", [False, True])
+def test_traceback_matches_oracle(rng, with_anchor):
+    P, Lr, Lw = 32, 24, 48
+    prob = make_problems(rng, P, Lr, Lw, with_anchor)
+    reads, rlens, wins, wlens, cl, cr, al, ar = prob
+    jprob = [jnp.asarray(x) for x in prob]
+    bS, bI, bJ, bC, dirs = dp_forward(*jprob, sc=SC)
+    active = np.asarray(bS) >= 1  # only meaningful alignments
+    ops, cnts, nrun, startj = dp_traceback(
+        dirs, jprob[0], jprob[1], jprob[2], bI, bJ, jprob[4],
+        jnp.asarray(active))
+    ops, cnts, nrun, startj = map(np.asarray, (ops, cnts, nrun, startj))
+    checked = 0
+    for p in range(P):
+        if not active[p]:
+            continue
+        H, Dt, best, cnt = dp_oracle.oracle_forward(
+            reads[p, :rlens[p]], wins[p], cl[p], cr[p], al[p], ar[p], SCORES)
+        pat, sj = dp_oracle.oracle_traceback(
+            reads[p, :rlens[p]], wins[p], H, Dt, best, cl[p], al[p], SCORES)
+        assert runs_from_engine(ops, cnts, nrun, p) == runs_from_oracle(pat), p
+        assert startj[p] == sj, p
+        # pattern must reproduce the score (clips free)
+        assert dp_oracle.score_of_pattern(pat, SCORES) == best[0], p
+        checked += 1
+    assert checked > P // 2
+
+
+def test_exact_read_aligns_perfectly(rng):
+    """A read copied verbatim from the window: all-match, full score."""
+    P, Lr, Lw = 8, 20, 40
+    wins = rng.integers(0, 4, size=(P, Lw)).astype(np.uint8)
+    reads = wins[:, 5:5 + Lr].copy()
+    args = (jnp.asarray(reads), jnp.full(P, Lr, jnp.int32), jnp.asarray(wins),
+            jnp.full(P, Lw, jnp.int32), jnp.zeros(P, jnp.int32),
+            jnp.zeros(P, jnp.int32), jnp.full(P, Lw + 1, jnp.int32),
+            jnp.zeros(P, jnp.int32))
+    bS, bI, bJ, bC, dirs = dp_forward(*args, sc=SC)
+    assert np.all(np.asarray(bS) == Lr)
+    assert np.all(np.asarray(bI) == Lr)
+    ops, cnts, nrun, startj = dp_traceback(
+        dirs, args[0], args[1], args[2], bI, bJ, args[4],
+        jnp.ones(P, bool))
+    assert np.all(np.asarray(startj) == 5)
+    for p in range(P):
+        assert runs_from_engine(np.asarray(ops), np.asarray(cnts),
+                                np.asarray(nrun), p) == [("M", Lr)]
