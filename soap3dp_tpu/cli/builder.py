@@ -1,0 +1,46 @@
+"""soap3dp-builder: FASTA -> TPU index.
+
+One step replaces the reference's two-stage build (soap3-dp-builder ->
+2BWT index files, then BGS-Build -> GPU occ tables; README.md section
+2.1): the TPU layout is emitted directly. Index lands in
+<fasta>.index.t3i/ so aligner invocations take "<fasta>.index" exactly
+like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="soap3dp-builder",
+        description="Build the TPU 2BWT/FM index from a FASTA file")
+    ap.add_argument("fasta", help="reference FASTA (plain or .gz)")
+    ap.add_argument("--sa-rate", type=int, default=8,
+                    help="SA sampling rate (power of 2; the reference's "
+                         "SaValueFreq analog — smaller = faster decode, "
+                         "more memory)")
+    ap.add_argument("--lut-k", type=int, default=None,
+                    help="k-mer lookup table depth (default: auto)")
+    args = ap.parse_args(argv)
+
+    from soap3dp_tpu.index.builder import build_index, save_index
+    from soap3dp_tpu.index.packing import pack_fasta
+
+    t0 = time.time()
+    print(f"[builder] parsing {args.fasta}", file=sys.stderr)
+    genome = pack_fasta(args.fasta)
+    print(f"[builder] {genome.length} bp in {len(genome.names)} sequence(s); "
+          f"building index", file=sys.stderr)
+    index = build_index(genome, sa_rate=args.sa_rate, lut_k=args.lut_k)
+    out = f"{args.fasta}.index.t3i"
+    save_index(index, out)
+    print(f"[builder] wrote {out} in {time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

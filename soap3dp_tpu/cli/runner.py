@@ -1,0 +1,118 @@
+"""CLI execution: load index, stream batches, drive pipelines, write outputs.
+
+The rebuild of the reference main loop (SOAP3-DP.cu:607-1138):
+per-batch dispatch to the single/pair pipelines, per-run summary on
+stderr, and a `.done` marker file at the end for external orchestration
+(SOAP3-DP.cu:892-901). Multi-file mode reads the same list-file format
+(README.md section 2.2 cases 3/4/6).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _load(index_arg: str):
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.index.builder import load_index
+
+    path = index_arg if index_arg.endswith(".t3i") else index_arg + ".t3i"
+    t0 = time.time()
+    index = load_index(path)
+    didx = device_index(index)
+    print(f"[soap3dp] index loaded in {time.time() - t0:.2f}s "
+          f"({index.n} bp, {len(index.names)} sequences)", file=sys.stderr)
+    return index, didx
+
+
+def _writer(opts, index, path):
+    from soap3dp_tpu.io.sam import SamWriter
+    from soap3dp_tpu.io.succinct import SuccinctWriter, BamWriter
+    from soap3dp_tpu.pipeline import options as opt
+
+    if opts.output_format == opt.FORMAT_SUCCINCT:
+        return SuccinctWriter(path + ".gout", index)
+    if opts.output_format == opt.FORMAT_BAM:
+        return BamWriter(path + ".bam", index, read_group=opts.read_group,
+                         sample=opts.sample_name, rg_option=opts.rg_option)
+    return SamWriter(path + ".sam", index, read_group=opts.read_group,
+                     sample=opts.sample_name, rg_option=opts.rg_option)
+
+
+def run_single(args) -> int:
+    from soap3dp_tpu.cli.main import _build_options
+    from soap3dp_tpu.io.fastq import read_single
+    from soap3dp_tpu.pipeline.single import BatchSummary, align_single_batch
+
+    opts = _build_options(args, args.reads)
+    index, didx = _load(args.index)
+    total = BatchSummary()
+    with _writer(opts, index, opts.output_prefix) as w:
+        for batch in read_single(args.reads, opts.batch_size,
+                                 opts.max_read_len):
+            t0 = time.time()
+            s = align_single_batch(index, didx, batch, opts, w)
+            total.add(s)
+            print(f"[soap3dp] batch: {s.num_reads} reads, "
+                  f"{s.aligned_bwt} BWT-aligned, {s.aligned_dp} DP-aligned, "
+                  f"{s.unaligned} unaligned ({time.time() - t0:.2f}s)",
+                  file=sys.stderr)
+    _summary(opts, total)
+    return 0
+
+
+def run_pair(args) -> int:
+    from soap3dp_tpu.cli.main import _build_options
+    from soap3dp_tpu.io.fastq import read_pairs
+    from soap3dp_tpu.pipeline.pair import PairSummary, align_pair_batch
+
+    opts = _build_options(args, args.reads1)
+    index, didx = _load(args.index)
+    total = PairSummary()
+    with _writer(opts, index, opts.output_prefix) as w:
+        for b1, b2 in read_pairs(args.reads1, args.reads2,
+                                 opts.batch_size, opts.max_read_len):
+            t0 = time.time()
+            s = align_pair_batch(index, didx, b1, b2, opts, w)
+            total.add(s)
+            print(f"[soap3dp] batch: {s.num_pairs} pairs, "
+                  f"{s.paired_bwt} BWT-paired, {s.paired_dp} DP-paired, "
+                  f"{s.single_rescued} singly aligned, "
+                  f"{s.unaligned} unaligned ({time.time() - t0:.2f}s)",
+                  file=sys.stderr)
+    _summary(opts, total)
+    return 0
+
+
+def run_multi(cmd: str, args) -> int:
+    """Multi-file list mode: one line per read set (README section 2.2)."""
+    import copy
+
+    rc = 0
+    with open(args.listfile) as fh:
+        lines = [l.rstrip("\n").split("\t") for l in fh if l.strip()]
+    for cols in lines:
+        sub = copy.copy(args)
+        if cmd == "pair-multi":
+            sub.reads1, sub.reads2 = cols[0], cols[1]
+            sub.min_insert, sub.max_insert = int(cols[2]), int(cols[3])
+            sub.output_prefix = cols[4]
+            if len(cols) > 5:
+                sub.read_group = cols[5]
+            if len(cols) > 6:
+                sub.sample_name = cols[6]
+            if len(cols) > 7:
+                sub.rg_option = cols[7]
+            rc |= run_pair(sub)
+        else:
+            sub.reads = cols[0]
+            sub.output_prefix = cols[1] if len(cols) > 1 else cols[0]
+            rc |= run_single(sub)
+    return rc
+
+
+def _summary(opts, total) -> None:
+    print(f"[soap3dp] done: {total}", file=sys.stderr)
+    with open(opts.output_prefix + ".done", "w") as fh:
+        fh.write("done\n")

@@ -1,0 +1,211 @@
+"""Succinct binary output + BAM output.
+
+Succinct format (-b 1): the rebuild's analog of the reference's .gout
+binary records (writer OCCFlushCacheDefault, BGS-IO.cpp; decoder
+BGS-View.cpp:110-165). Our container:
+
+  magic "T3G1" | u32 num_chroms | per chrom: u16 namelen + name
+  then records:
+  u16 qname_len | qname | u16 flag | i32 chrom | u32 pos | u8 mapq |
+  u16 cigar_len | cigar | i32 nm
+
+Decoded back to text by `soap3dp-view` (cli/view.py), the BGS-View
+equivalent.
+
+BAM output (-b 3): standard BGZF-compressed BAM v1, written directly
+(the reference links samtools-0.1.18 for this; we implement the
+container natively). Aux tags are carried as Z-strings and i-ints.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from soap3dp_tpu.index.builder import Index
+from soap3dp_tpu.io.sam import SamRecord, revcomp_ascii, FLAG_REVERSE, FLAG_UNMAPPED
+from soap3dp_tpu.version import __version__
+
+MAGIC = b"T3G1"
+
+
+class SuccinctWriter:
+    def __init__(self, path, index: Index, **_kw):
+        self._fh = open(path, "wb")
+        self._fh.write(MAGIC)
+        self._fh.write(struct.pack("<I", len(index.names)))
+        lens = np.diff(index.offsets).astype(np.int64)
+        for name, ln in zip(index.names, lens):
+            nb = name.encode()
+            self._fh.write(struct.pack("<HQ", len(nb), int(ln)))
+            self._fh.write(nb)
+
+    def write(self, rec: SamRecord) -> None:
+        cig = rec.cigar.encode()
+        nm = 0
+        for t in rec.tags:
+            if t.startswith("NM:i:"):
+                nm = int(t[5:])
+        self._fh.write(struct.pack("<H", len(rec.qname)))
+        self._fh.write(rec.qname)
+        self._fh.write(struct.pack("<HiIBH", rec.flag, rec.chrom,
+                                   rec.pos & 0xFFFFFFFF, rec.mapq, len(cig)))
+        self._fh.write(cig)
+        self._fh.write(struct.pack("<i", nm))
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_succinct(path):
+    """Decode a succinct file -> (names, lengths, records). For
+    soap3dp-view and tests."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:4] == MAGIC, "not a soap3dp-tpu succinct file"
+    off = 4
+    (nchrom,) = struct.unpack_from("<I", data, off)
+    off += 4
+    names, lens = [], []
+    for _ in range(nchrom):
+        nl, ln = struct.unpack_from("<HQ", data, off)
+        off += 10
+        names.append(data[off:off + nl].decode())
+        off += nl
+        lens.append(ln)
+    records = []
+    while off < len(data):
+        (ql,) = struct.unpack_from("<H", data, off)
+        off += 2
+        qname = data[off:off + ql]
+        off += ql
+        flag, chrom, pos, mapq, cl = struct.unpack_from("<HiIBH", data, off)
+        off += struct.calcsize("<HiIBH")
+        cig = data[off:off + cl].decode()
+        off += cl
+        (nm,) = struct.unpack_from("<i", data, off)
+        off += 4
+        records.append((qname, flag, chrom, pos, mapq, cig, nm))
+    return names, lens, records
+
+
+# ------------------------------------------------------------------
+# BAM
+# ------------------------------------------------------------------
+
+_SEQ_NYBBLE = {65: 1, 67: 2, 71: 4, 84: 8, 78: 15,
+               97: 1, 99: 2, 103: 4, 116: 8, 110: 15}
+_CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+             "=": 7, "X": 8}
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = comp.compress(payload) + comp.flush()
+    bsize = len(cdata) + 25 + 1
+    header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
+              + struct.pack("<H", bsize - 1))
+    return header + cdata + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                                        len(payload))
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class BamWriter:
+    """Standard BAM writer (BGZF container, BAM v1 records)."""
+
+    def __init__(self, path, index: Index, read_group="default",
+                 sample="default", rg_option=""):
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+        self.names = [n.encode() for n in index.names]
+        lens = np.diff(index.offsets).astype(np.int64)
+        text = [b"@HD\tVN:1.3\tSO:unsorted"]
+        rg = f"@RG\tID:{read_group}\tSM:{sample}"
+        if rg_option:
+            rg += "\t" + rg_option
+        text.append(rg.encode())
+        for name, ln in zip(self.names, lens):
+            text.append(b"@SQ\tSN:" + name + f"\tLN:{ln}".encode())
+        text.append(f"@PG\tID:soap3dp-tpu\tPN:soap3dp-tpu\tVN:{__version__}".encode())
+        text = b"\n".join(text) + b"\n"
+        hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        hdr += struct.pack("<i", len(self.names))
+        for name, ln in zip(self.names, lens):
+            hdr += struct.pack("<i", len(name) + 1) + name + b"\x00"
+            hdr += struct.pack("<i", int(ln))
+        self._emit(hdr)
+
+    def _emit(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 60000:
+            self._fh.write(_bgzf_block(bytes(self._buf[:60000])))
+            del self._buf[:60000]
+
+    @staticmethod
+    def _cigar_bin(cigar: str) -> list[int]:
+        out = []
+        n = 0
+        for ch in cigar:
+            if ch.isdigit():
+                n = n * 10 + ord(ch) - 48
+            else:
+                out.append((n << 4) | _CIGAR_OP[ch])
+                n = 0
+        return out
+
+    def write(self, rec: SamRecord) -> None:
+        if rec.flag & FLAG_REVERSE and not rec.flag & FLAG_UNMAPPED:
+            seq = revcomp_ascii(rec.seq)
+            qual = rec.qual[::-1] if rec.qual else None
+        else:
+            seq, qual = rec.seq, rec.qual
+        cig = self._cigar_bin(rec.cigar) if rec.cigar else []
+        l_seq = len(seq)
+        packed = bytearray((l_seq + 1) // 2)
+        for i, b in enumerate(seq):
+            nyb = _SEQ_NYBBLE.get(b, 15)
+            packed[i // 2] |= nyb << (4 if i % 2 == 0 else 0)
+        qdata = bytes(q - 33 for q in qual) if qual else b"\xff" * l_seq
+        aux = bytearray()
+        for t in rec.tags:
+            tag, typ, val = t.split(":", 2)
+            if typ == "i":
+                aux += tag.encode() + b"i" + struct.pack("<i", int(val))
+            else:
+                aux += tag.encode() + b"Z" + val.encode() + b"\x00"
+        name = rec.qname + b"\x00"
+        body = struct.pack(
+            "<iiBBHHHiiii",
+            rec.chrom, rec.pos if rec.chrom >= 0 else -1,
+            len(name), rec.mapq & 0xFF, 4680,  # reg2bin stub bin
+            len(cig), rec.flag, l_seq,
+            rec.mate_chrom, rec.mate_pos if rec.mate_chrom >= 0 else -1,
+            rec.tlen)
+        body += name
+        body += struct.pack(f"<{len(cig)}I", *cig)
+        body += bytes(packed) + qdata + bytes(aux)
+        self._emit(struct.pack("<i", len(body)) + body)
+
+    def close(self):
+        if self._buf:
+            self._fh.write(_bgzf_block(bytes(self._buf)))
+            self._buf.clear()
+        self._fh.write(BGZF_EOF)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

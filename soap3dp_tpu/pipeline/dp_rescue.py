@@ -1,0 +1,229 @@
+"""DP rescue: seeding, candidate windows, batched banded DP, results.
+
+The TPU equivalents of the reference's three DP engines:
+
+* single-end salvage (SingleDP_Space, DV-DPForSingleReads.cu): 3+
+  evenly spaced seeds per read (lengths staged by read length,
+  definitions.h:191-213), decode seed hits to candidate loci, merge
+  nearby candidates, then banded DP of the read against a window of
+  [pos - margin, pos + len + margin) with margin(l) = l/4 if l > 100
+  else 25 (DPS_MARGIN, DV-DPfunctions.cu:1005).
+* half-aligned PE rescue (DP_Space::HalfEndAlignmentEngine,
+  DV-DPfunctions.cu:2027-2109): mate window derived from the anchor
+  position and the insert-size range.
+* both-unaligned PE ("deep DP", DeepDP_Space): seed both ends, pair
+  candidate loci within the insert window, DP both ends.
+
+The reference seeds with a 1-mismatch GPU kernel
+(single_1_mismatch_alignment2, alignment.cu:1839); this rebuild uses
+exact seeds (the uniform batched backward search), which pigeonholes a
+1-mismatch seed of length L into one exact seed of length >= L/2 — the
+staged seed lengths keep sensitivity comparable.
+
+All stages share one batched DP call: windows are gathered from the
+packed genome on device, reads are strand-oriented, scores below the
+cutoff (0.3 * read length by default) are dropped, and survivors are
+traced back to CIGAR runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from soap3dp_tpu.fm import fmindex
+from soap3dp_tpu.fm.fmindex import DeviceIndex
+from soap3dp_tpu.index.builder import Index
+from soap3dp_tpu.kernels.banded_dp import DPScores, dp_forward, dp_traceback
+
+MERGE_GAP = 50  # candidates within 50bp collapse (DP2_DIVIDE_GAP)
+
+
+def dp_margin(rlen: np.ndarray) -> np.ndarray:
+    """DPS_MARGIN / DP2_MARGIN: l/4 for l > 100, else 25."""
+    rlen = np.asarray(rlen)
+    return np.where(rlen > 100, rlen >> 2, 25)
+
+
+def single_dp_seeds(rlen: int) -> tuple[int, list[int]]:
+    """(seed_length, seed_positions) for single-end DP seeding
+    (getSeedPositions STAGE_SINGLE_DP, definitions.h:323-377)."""
+    if rlen > 300:
+        slen, trim, h = 70, int(rlen * 0.15), int(rlen * 0.15)
+    elif rlen > 80:
+        slen, trim, h = 38, 10, 0
+    elif rlen > 60:
+        slen, trim, h = 32, 4, 0
+    elif rlen > 40:
+        slen, trim, h = 26, 4, 0
+    else:
+        slen, trim, h = 22, 0, 0
+    num = 3 + (rlen // 100 if rlen > 120 else 0)
+    apart = (rlen - trim - h) // num
+    pos = [h + i * apart for i in range(num)]
+    pos[-1] = min(pos[-1], rlen - slen - trim)
+    return slen, [max(p, 0) for p in pos]
+
+
+def deep_dp_seeds(rlen: int, round2: bool = False) -> tuple[int, list[int]]:
+    """(seed_length, seed_positions) for deep-DP seeding
+    (getSeedPositions STAGE_DEEP_DP_ROUND1/2, definitions.h:378-441)."""
+    if rlen > 150:
+        slen = 52 if round2 else 45
+    elif rlen > 80:
+        slen = 30 if round2 else 26
+    elif rlen > 60:
+        slen = 28 if round2 else 24
+    elif rlen > 40:
+        slen = 26 if round2 else 22
+    else:
+        slen = 24 if round2 else 20
+    num = max(2, rlen // slen)
+    apart = max((rlen - slen) // max(num - 1, 1), 1)
+    pos = [min(i * apart, max(rlen - slen, 0)) for i in range(num)]
+    return slen, sorted(set(pos))
+
+
+@dataclasses.dataclass
+class Candidates:
+    """Candidate alignment loci: (read index into the subset, strand, pos)."""
+
+    read: np.ndarray    # (M,) int32 — indices into the *subset* arrays
+    strand: np.ndarray  # (M,) int8
+    pos: np.ndarray     # (M,) int64 candidate read-start text position
+
+
+def seed_candidates(
+    idx: DeviceIndex,
+    reads: np.ndarray,     # (B, L) uint8 forward codes (subset to rescue)
+    lens: np.ndarray,      # (B,) int32
+    seed_len: int,
+    seed_pos: list[int],
+    occ_cap: int = 64,
+    merge_gap: int = MERGE_GAP,
+) -> Candidates:
+    """Exact-search the staged seeds on both strands, decode, merge."""
+    B, L = reads.shape
+    if B == 0:
+        return Candidates(np.zeros(0, np.int32), np.zeros(0, np.int8),
+                          np.zeros(0, np.int64))
+    S = len(seed_pos)
+    oriented = jnp.concatenate(
+        [jnp.asarray(reads),
+         fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))],
+        axis=0)
+    R = 2 * B
+    # seeds laid out (R*S,): clamp seed windows into [0, len - seed_len]
+    sp = np.asarray(seed_pos, np.int32)[None, :].repeat(R, 0)
+    ln2 = np.concatenate([lens, lens]).astype(np.int32)
+    sp = np.minimum(sp, np.maximum(ln2[:, None] - seed_len, 0))
+    slen_arr = np.broadcast_to(np.minimum(seed_len, ln2)[:, None], sp.shape)
+    rows = np.repeat(np.arange(R, dtype=np.int32), S)
+    l, r = fmindex.backward_search(
+        idx, oriented[rows], jnp.asarray(np.ascontiguousarray(sp.reshape(-1))),
+        jnp.asarray(np.ascontiguousarray(slen_arr.reshape(-1))),
+        max_steps=max(seed_len - idx.lut_k, min(idx.lut_k, seed_len)))
+    width = np.asarray(r).astype(np.int64) - np.asarray(l).astype(np.int64)
+    slot = np.arange(occ_cap, dtype=np.uint32)[None, :]
+    rows_dec = (np.asarray(l)[:, None] + slot).astype(np.uint32)
+    ok = slot < np.minimum(width, occ_cap)[:, None]
+    sa_pos = np.asarray(fmindex.sa_decode(
+        idx, jnp.asarray(rows_dec.reshape(-1)), jnp.asarray(ok.reshape(-1))))
+    sa_pos = sa_pos.reshape(-1, occ_cap).astype(np.int64)
+    cand_pos = sa_pos - sp.reshape(-1)[:, None]
+    cand_row = np.repeat(rows, occ_cap).reshape(-1, occ_cap)
+    okf = ok & (cand_pos >= 0)
+    rowf = cand_row[okf]
+    posf = cand_pos[okf]
+    strand = (rowf >= B).astype(np.int8)
+    read = (rowf - strand.astype(np.int32) * B).astype(np.int32)
+    # merge: sort by (read, strand, pos); drop candidates within merge_gap
+    order = np.lexsort((posf, strand, read))
+    read, strand, posf = read[order], strand[order], posf[order]
+    if read.size:
+        same = (np.diff(read) == 0) & (np.diff(strand) == 0) & (np.diff(posf) < merge_gap)
+        keep = np.concatenate([[True], ~same])
+        read, strand, posf = read[keep], strand[keep], posf[keep]
+    return Candidates(read=read, strand=strand, pos=posf)
+
+
+@dataclasses.dataclass
+class DPResult:
+    """One DP alignment per surviving problem (arrays over problems)."""
+
+    read: np.ndarray      # subset index
+    strand: np.ndarray
+    pos: np.ndarray       # absolute text position of the alignment start
+    score: np.ndarray
+    ops: np.ndarray       # (M, MAXRUNS) right-to-left run ops
+    cnts: np.ndarray
+    nrun: np.ndarray
+    win_start: np.ndarray  # window origin (for MD reconstruction)
+    n_best_cells: np.ndarray  # maxScoreCount within the window
+    problem: np.ndarray   # index of the surviving input problem
+
+
+def run_banded_dp(
+    idx: DeviceIndex,
+    reads: np.ndarray,        # (B, L) forward codes of the subset
+    lens: np.ndarray,         # (B,)
+    cand: Candidates,
+    win_start: np.ndarray,    # (M,) int64 window start per candidate
+    win_len: np.ndarray,      # (M,) int32
+    max_win: int,
+    clip_l: np.ndarray, clip_r: np.ndarray,       # (M,)
+    anchor_l: np.ndarray, anchor_r: np.ndarray,   # (M,)
+    cutoff: np.ndarray,       # (M,) score threshold
+    sc: DPScores,
+    index_host: Index | None = None,
+) -> DPResult:
+    """One batched DP over candidate windows; returns survivors only."""
+    M = cand.read.shape[0]
+    if M == 0:
+        z = np.zeros(0, np.int64)
+        return DPResult(*(z.astype(t) for t in
+                          (np.int32, np.int8, np.int64, np.int32)),
+                        ops=np.zeros((0, 1), np.int32),
+                        cnts=np.zeros((0, 1), np.int32),
+                        nrun=np.zeros(0, np.int32),
+                        win_start=z, n_best_cells=z.astype(np.int32),
+                        problem=z.astype(np.int64))
+    L = reads.shape[1]
+    oriented = np.asarray(jnp.where(
+        jnp.asarray(cand.strand[:, None] == 1),
+        fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cand.read],
+        jnp.asarray(reads)[cand.read]))
+    rlen = lens[cand.read].astype(np.int32)
+    wins = np.asarray(fmindex.extract_genome(
+        idx, jnp.asarray(win_start.astype(np.uint32)), max_win)).astype(np.uint8)
+
+    bS, bI, bJ, bC, dirs = dp_forward(
+        jnp.asarray(oriented), jnp.asarray(rlen), jnp.asarray(wins),
+        jnp.asarray(win_len.astype(np.int32)),
+        jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(clip_r.astype(np.int32)),
+        jnp.asarray(anchor_l.astype(np.int32)), jnp.asarray(anchor_r.astype(np.int32)),
+        sc=sc)
+    score = np.asarray(bS)
+    passed = score >= cutoff
+    ops, cnts, nrun, startj = dp_traceback(
+        dirs, jnp.asarray(oriented), jnp.asarray(rlen), jnp.asarray(wins),
+        bI, bJ, jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(passed))
+    ops, cnts, nrun, startj = map(np.asarray, (ops, cnts, nrun, startj))
+    if index_host is not None:
+        # drop alignments whose reference span [pos, pos+span) crosses a
+        # chromosome boundary or an excluded ambiguity region (the
+        # reference's annotation/boundary handling in output)
+        from soap3dp_tpu.io.sam import crosses_boundary
+        end_j = np.asarray(bJ).astype(np.int64)
+        span = np.maximum(end_j - startj, 1)
+        passed &= ~crosses_boundary(
+            index_host, (win_start + startj).astype(np.uint64), span)
+    sel = np.flatnonzero(passed)
+    return DPResult(
+        read=cand.read[sel], strand=cand.strand[sel],
+        pos=win_start[sel] + startj[sel], score=score[sel],
+        ops=ops[sel], cnts=cnts[sel], nrun=nrun[sel],
+        win_start=win_start[sel], n_best_cells=np.asarray(bC)[sel],
+        problem=sel.astype(np.int64))

@@ -1,0 +1,123 @@
+"""Host-side hit post-processing: grouping, filtering, output modes.
+
+The analog of the reference's host answer collection
+(collect_all_answers, CPUfunctions.cpp:1226-1416) and per-class output
+filtering (OutputBuffer::ready, DV-DPfunctions.h:367-412): the device
+returns rectangular hit arrays; this module flattens them into a
+sorted per-read table, drops hits that cross chromosome boundaries or
+excluded ambiguity regions, computes per-read best/suboptimal stats
+(X0/X1) and applies the -h output-mode selection with deterministic
+tie-breaking (nmis, position, strand).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from soap3dp_tpu.fm.search import HitArrays
+from soap3dp_tpu.index.builder import Index
+from soap3dp_tpu.io.sam import crosses_boundary
+from soap3dp_tpu.pipeline import options as opt
+
+
+@dataclasses.dataclass
+class HitTable:
+    """Flat, read-grouped hit table. Rows sorted by (read, nmis, pos, strand)."""
+
+    read_id: np.ndarray   # (M,) int32
+    strand: np.ndarray    # (M,) int8 (0 = forward, 1 = reverse)
+    pos: np.ndarray       # (M,) uint32 absolute text position
+    nmis: np.ndarray      # (M,) int32
+    start: np.ndarray     # (B+1,) int64 group offsets per read
+    flagged: np.ndarray   # (B,) bool: over budget even in round 2
+
+    def group(self, b: int) -> slice:
+        return slice(self.start[b], self.start[b + 1])
+
+    def counts(self) -> np.ndarray:
+        return np.diff(self.start)
+
+
+def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
+                  lens: np.ndarray) -> HitTable:
+    tp, nm, va, flagged = hits.to_host()
+    B = num_reads
+    R, H = tp.shape
+    va = va.copy().ravel()
+    rows = np.repeat(np.arange(R, dtype=np.int32), H)[va]
+    pos = tp.ravel()[va]
+    nmis = nm.ravel()[va].astype(np.int32)
+    strand = (rows >= B).astype(np.int8)
+    read = (rows - strand.astype(np.int32) * B).astype(np.int32)
+    ok = ~crosses_boundary(index, pos, lens[read])
+    read, strand, pos, nmis = read[ok], strand[ok], pos[ok], nmis[ok]
+    order = np.lexsort((strand, pos, nmis, read))
+    read, strand, pos, nmis = (read[order], strand[order], pos[order],
+                               nmis[order])
+    start = np.searchsorted(read, np.arange(B + 1)).astype(np.int64)
+    return HitTable(read_id=read, strand=strand, pos=pos, nmis=nmis,
+                    start=start, flagged=flagged)
+
+
+@dataclasses.dataclass
+class ReadStats:
+    """Per-read best-hit statistics (BWA X0/X1 semantics)."""
+
+    best_nmis: np.ndarray  # (B,) int32, -1 when no hits
+    x0: np.ndarray         # (B,) #hits with best nmis
+    x1: np.ndarray         # (B,) #hits with worse nmis (suboptimal)
+
+
+def read_stats(table: HitTable, num_reads: int) -> ReadStats:
+    B = num_reads
+    cnt = table.counts()
+    best = np.full(B, -1, np.int32)
+    has = cnt > 0
+    # table sorted by (read, nmis, ...): the first hit of each group is best
+    best[has] = table.nmis[table.start[:-1][has]]
+    x0 = np.zeros(B, np.int64)
+    if table.read_id.size:
+        is_best = table.nmis == best[table.read_id]
+        x0 = np.bincount(table.read_id[is_best], minlength=B)
+    x1 = cnt - x0
+    return ReadStats(best_nmis=best, x0=x0.astype(np.int32),
+                     x1=np.maximum(x1, 0).astype(np.int32))
+
+
+def select_output(table: HitTable, stats: ReadStats, num_reads: int,
+                  mode: int, cap: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the -h output mode.
+
+    Returns (selected, primary): `selected` is a bool mask over table
+    rows (the hits to report, primary + XA alternates), `primary` is
+    the table row index of the primary record per read (-1 = none).
+    Groups are sorted by (nmis, pos, strand), so the first selected row
+    of a group is the deterministic primary.
+    """
+    B = num_reads
+    selected = np.zeros(table.pos.shape[0], bool)
+    primary = np.full(B, -1, np.int64)
+    if not table.pos.size:
+        return selected, primary
+    rid = table.read_id
+    is_best = table.nmis == stats.best_nmis[rid]
+    rank = np.arange(len(rid)) - table.start[rid]  # rank within group
+    if mode == opt.OUTPUT_ALL_VALID:
+        selected = rank < cap
+    elif mode == opt.OUTPUT_ALL_BEST:
+        selected = is_best & (rank < cap)
+    elif mode == opt.OUTPUT_UNIQUE_BEST:
+        selected = is_best & (stats.x0[rid] == 1)
+    elif mode == opt.OUTPUT_RANDOM_BEST:
+        rng = np.random.default_rng(seed)
+        pick = (rng.integers(0, 1 << 30, size=B) % np.maximum(stats.x0, 1))
+        selected = is_best & (rank == pick[rid])
+    else:
+        raise ValueError(f"unknown output mode {mode}")
+    sel_idx = np.flatnonzero(selected)
+    if sel_idx.size:
+        u, first = np.unique(rid[sel_idx], return_index=True)
+        primary[u] = sel_idx[first]
+    return selected, primary

@@ -1,0 +1,663 @@
+"""Paired-end alignment pipeline.
+
+The rebuild of soap3_dp_pair_align (alignment.cu:1896-2430), phases A-E:
+
+A. BWT mismatch search of both ends + insert-size pairing
+   (PEMappingOccurrences semantics, PEAlgnmt.cpp:480-598: the leftmost
+   leg must be on strand_left_leg, the rightmost on strand_right_leg,
+   and the outer distance in [min_insert, max_insert]).
+B/C. half-aligned rescue: pairs with no valid BWT pairing but at least
+   one aligned end — each anchor hit defines a mate window from the
+   insert range (HalfEndAlgnBatch::pack geometry,
+   DV-DPfunctions.cu:2027-2109) and the mate is banded-DP'd into it.
+D. deep DP: both ends unaligned — seed both ends, pair candidate loci
+   within the insert window, DP both ends (DeepDP_Space,
+   DV-DPForBothUnalign.cu).
+E. single-end salvage of leftover ends, emitted unpaired
+   (DPForUnalignSingle2 call, alignment.cu:2388-2405).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from soap3dp_tpu.fm.fmindex import DeviceIndex
+from soap3dp_tpu.fm.search import SearchConfig, search_reads
+from soap3dp_tpu.index.builder import Index
+from soap3dp_tpu.io import sam
+from soap3dp_tpu.io.fastq import ReadBatch
+from soap3dp_tpu.io.sam import SamRecord, SamWriter
+from soap3dp_tpu.kernels.banded_dp import DPScores
+from soap3dp_tpu.pipeline import cigar as cig
+from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
+from soap3dp_tpu.pipeline import options as opt
+from soap3dp_tpu.pipeline.options import AlignOptions
+from soap3dp_tpu.pipeline.single import _genome_codes, _qual_bytes, _seq_bytes
+
+PAIRING_CAP = 64  # per-end hits considered for pairing (per pair)
+
+
+@dataclasses.dataclass
+class PairSummary:
+    num_pairs: int = 0
+    paired_bwt: int = 0
+    paired_dp: int = 0
+    single_rescued: int = 0
+    unaligned: int = 0
+    num_records: int = 0
+
+    def add(self, other: "PairSummary") -> None:
+        for f in dataclasses.fields(self):
+            setattr(self, f.name, getattr(self, f.name) + getattr(other, f.name))
+
+
+@dataclasses.dataclass
+class PairCombos:
+    """All valid pairings, flattened across the batch."""
+
+    pair_id: np.ndarray   # (M,) int32
+    row1: np.ndarray      # (M,) int64 row in table1
+    row2: np.ndarray      # (M,) int64 row in table2
+    insert: np.ndarray    # (M,) int64
+    total_nm: np.ndarray  # (M,) int32
+    start: np.ndarray     # (B+1,) group offsets (sorted by pair_id)
+
+
+def pair_hits(t1: hits.HitTable, t2: hits.HitTable, B: int,
+              lens1: np.ndarray, lens2: np.ndarray,
+              opts: AlignOptions) -> PairCombos:
+    """Cross-product pairing within each read pair (vectorized).
+
+    Per-end hits are capped at PAIRING_CAP (the hit tables are sorted
+    best-first, so the cap keeps the lowest-mismatch hits — the
+    reference's MaxHitsEachEndForPairing plays the same role).
+    """
+    n1 = np.minimum(t1.counts(), PAIRING_CAP)
+    n2 = np.minimum(t2.counts(), PAIRING_CAP)
+    combos = n1.astype(np.int64) * n2
+    total = int(combos.sum())
+    empty = PairCombos(*(np.zeros(0, t) for t in
+                         (np.int32, np.int64, np.int64, np.int64, np.int32)),
+                       start=np.zeros(B + 1, np.int64))
+    if total == 0:
+        return empty
+    off = np.zeros(B + 1, np.int64)
+    np.cumsum(combos, out=off[1:])
+    pid = np.repeat(np.arange(B, dtype=np.int32), combos)
+    c = np.arange(total, dtype=np.int64) - off[pid]
+    i1 = c // n2[pid]
+    i2 = c % n2[pid]
+    row1 = t1.start[pid] + i1
+    row2 = t2.start[pid] + i2
+
+    p1 = t1.pos[row1].astype(np.int64)
+    p2 = t2.pos[row2].astype(np.int64)
+    s1 = t1.strand[row1]
+    s2 = t2.strand[row2]
+    l1 = lens1[pid].astype(np.int64)
+    l2 = lens2[pid].astype(np.int64)
+    left1 = p1 <= p2  # end1 is the left leg
+    ins = np.where(left1, p2 + l2 - p1, p1 + l1 - p2)
+    ok_strand = np.where(
+        left1,
+        (s1 == opts.strand_left_leg) & (s2 == opts.strand_right_leg),
+        (s2 == opts.strand_left_leg) & (s1 == opts.strand_right_leg))
+    # equal positions: either role may satisfy the arrangement
+    eq = p1 == p2
+    ok_strand |= eq & (
+        (s2 == opts.strand_left_leg) & (s1 == opts.strand_right_leg))
+    ok = ok_strand & (ins >= opts.min_insert) & (ins <= opts.max_insert)
+    if not ok.any():
+        return empty
+    pid, row1, row2, ins = pid[ok], row1[ok], row2[ok], ins[ok]
+    tnm = (t1.nmis[row1] + t2.nmis[row2]).astype(np.int32)
+    # sort by (pair, total_nm, pos1, pos2) for deterministic selection
+    order = np.lexsort((t2.pos[row2], t1.pos[row1], tnm, pid))
+    pid, row1, row2, ins, tnm = (pid[order], row1[order], row2[order],
+                                 ins[order], tnm[order])
+    start = np.searchsorted(pid, np.arange(B + 1)).astype(np.int64)
+    return PairCombos(pair_id=pid, row1=row1, row2=row2, insert=ins,
+                      total_nm=tnm, start=start)
+
+
+@dataclasses.dataclass
+class EndInfo:
+    """Everything needed to emit one end of a pair."""
+
+    chrom: int
+    pos: int          # 0-based within chromosome
+    strand: int
+    cigar: str
+    span: int         # reference span (for TLEN)
+    mapq: int
+    tags: list[str]
+
+
+def align_pair_batch(
+    index: Index,
+    didx: DeviceIndex,
+    b1: ReadBatch,
+    b2: ReadBatch,
+    opts: AlignOptions,
+    writer: SamWriter,
+) -> PairSummary:
+    B = len(b1)
+    summary = PairSummary(num_pairs=B)
+    lens1 = b1.lens.astype(np.int32)
+    lens2 = b2.lens.astype(np.int32)
+    max_len = int(max(lens1.max() if B else 0, lens2.max() if B else 0))
+    k = opts.effective_mismatches(max_len)
+    sc = DPScores(opts.match_score, opts.mismatch_score,
+                  opts.gap_open_score, opts.gap_extend_score)
+
+    if opts.skip_bwt_alignment:
+        t1 = _empty_table(B)
+        t2 = _empty_table(B)
+    else:
+        cfg = SearchConfig(k=k)
+        t1 = hits.hits_to_table(search_reads(didx, b1.codes, lens1, cfg),
+                                B, index, lens1)
+        t2 = hits.hits_to_table(search_reads(didx, b2.codes, lens2, cfg),
+                                B, index, lens2)
+    st1 = hits.read_stats(t1, B)
+    st2 = hits.read_stats(t2, B)
+    combos = pair_hits(t1, t2, B, lens1, lens2, opts)
+
+    done = np.zeros(B, bool)
+    # ---- phase A: emit BWT pairs ----
+    for b in range(B):
+        g = slice(combos.start[b], combos.start[b + 1])
+        if g.start == g.stop:
+            continue
+        _emit_bwt_pair(index, writer, b1, b2, t1, t2, st1, st2, combos, g,
+                       b, lens1, lens2, opts)
+        done[b] = True
+        summary.paired_bwt += 1
+        summary.num_records += 2
+
+    if opts.dp_enabled:
+        # ---- phase B/C: half-aligned rescue ----
+        half = np.flatnonzero(~done & ((st1.best_nmis >= 0) | (st2.best_nmis >= 0)))
+        if half.size:
+            n = _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2,
+                                     half, lens1, lens2, opts, sc, writer)
+            done[n] = True
+            summary.paired_dp += len(n)
+            summary.num_records += 2 * len(n)
+        # ---- phase D: deep DP for both-unaligned ----
+        deep = np.flatnonzero(~done)
+        if deep.size:
+            n = _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2,
+                                opts, sc, writer)
+            done[n] = True
+            summary.paired_dp += len(n)
+            summary.num_records += 2 * len(n)
+        # ---- phase E: single-end salvage, unpaired output ----
+        leftover = np.flatnonzero(~done)
+        if leftover.size:
+            n_records = _single_salvage_pairs(index, didx, b1, b2, leftover,
+                                              lens1, lens2, opts, sc, writer,
+                                              summary)
+            done[leftover] = True
+            summary.num_records += n_records
+
+    for b in np.flatnonzero(~done):
+        _emit_unmapped_pair(writer, b1, b2, b)
+        summary.unaligned += 1
+        summary.num_records += 2
+    return summary
+
+
+def _empty_table(B):
+    return hits.HitTable(
+        read_id=np.zeros(0, np.int32), strand=np.zeros(0, np.int8),
+        pos=np.zeros(0, np.uint32), nmis=np.zeros(0, np.int32),
+        start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
+
+
+def _select_combo(combos: PairCombos, g: slice, mode: int, cap: int,
+                  seed: int, b: int) -> tuple[int, np.ndarray]:
+    """(primary combo row, alternate combo rows) under the -h mode.
+    Group is sorted by (total_nm, pos1, pos2)."""
+    tnm = combos.total_nm[g]
+    best = tnm[0]
+    n_best = int((tnm == best).sum())
+    if mode == opt.OUTPUT_ALL_VALID:
+        sel = np.arange(g.start, g.stop)[:cap]
+    elif mode == opt.OUTPUT_ALL_BEST:
+        sel = np.arange(g.start, g.start + n_best)[:cap]
+    elif mode == opt.OUTPUT_UNIQUE_BEST:
+        if n_best != 1:
+            return -1, np.zeros(0, np.int64)
+        sel = np.asarray([g.start])
+    else:  # random best
+        rng = np.random.default_rng(seed + b)
+        sel = np.asarray([g.start + int(rng.integers(0, n_best))])
+    return int(sel[0]), sel[1:]
+
+
+def _emit_bwt_pair(index, writer, b1, b2, t1, t2, st1, st2, combos, g, b,
+                   lens1, lens2, opts):
+    prim, alts = _select_combo(combos, g, opts.output_mode,
+                               opts.max_output_per_pair, opts.random_seed, b)
+    if prim < 0:
+        _emit_unmapped_pair(writer, b1, b2, b)
+        return
+    tnm = combos.total_nm[g]
+    best = int(tnm[0])
+    n_best = int((tnm == best).sum())
+    n_total = g.stop - g.start
+    sec_best = int(tnm[n_best]) if n_best < n_total else 0
+    l1, l2 = int(lens1[b]), int(lens2[b])
+    if opts.bwa_like_score:
+        op_score = (l1 + l2 - best) * opts.match_score + best * opts.mismatch_score
+        sub_score = ((l1 + l2 - sec_best) * opts.match_score
+                     + sec_best * opts.mismatch_score)
+        mq1, mq2 = mapq.bwa_like_pair(
+            st1.x0[b], st1.x1[b], st2.x0[b], st2.x1[b],
+            op_score, n_best, sub_score, max(n_total - n_best, 0), l1, l2)
+        mq1, mq2 = int(mq1), int(mq2)
+    else:
+        mq1 = mq2 = min(int(mapq.table_single(
+            max(t1.nmis[combos.row1[prim]], 0), 20, st1.x0[b], st1.x1[b],
+            opts.max_mapq, opts.min_mapq)), opts.max_mapq)
+
+    r1, r2 = int(combos.row1[prim]), int(combos.row2[prim])
+    e1 = _gapless_end(index, b1, t1, r1, b, mq1, st1, opts)
+    e2 = _gapless_end(index, b2, t2, r2, b, mq2, st2, opts)
+    # XA alternates per end
+    if alts.size:
+        _append_pair_xa(index, e1, t1, combos.row1[alts], lens1[b], opts)
+        _append_pair_xa(index, e2, t2, combos.row2[alts], lens2[b], opts)
+    emit_pair(writer, b1, b2, b, e1, e2, proper=True)
+
+
+def _gapless_end(index, batch, table, row, b, mq, st, opts) -> EndInfo:
+    rlen = int(batch.lens[b])
+    chrom, off = sam.translate_pos(index, np.asarray([table.pos[row]]))
+    tags = [f"X0:i:{st.x0[b]}", f"X1:i:{st.x1[b]}",
+            f"XM:i:{table.nmis[row]}", "XO:i:0", "XG:i:0"]
+    if opts.output_md:
+        codes = batch.codes[b, :rlen]
+        if table.strand[row]:
+            from soap3dp_tpu.utils import dna
+            codes = dna.revcomp_codes(codes)
+        md, nm = sam.mismatch_md(index, int(table.pos[row]), codes)
+        tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
+    return EndInfo(chrom=int(chrom[0]), pos=int(off[0]),
+                   strand=int(table.strand[row]), cigar=f"{rlen}M",
+                   span=rlen, mapq=mq, tags=tags)
+
+
+def _append_pair_xa(index, end: EndInfo, table, rows, rlen, opts):
+    entries = []
+    seen = set()
+    for r in np.asarray(rows)[: opts.max_output_per_pair]:
+        key = (int(table.pos[r]), int(table.strand[r]))
+        if key in seen:
+            continue
+        seen.add(key)
+        c, o = sam.translate_pos(index, np.asarray([table.pos[r]]))
+        entries.append(sam.xa_entry(index.names[int(c[0])].encode(),
+                                    int(table.strand[r]), int(o[0]),
+                                    f"{int(rlen)}M", int(table.nmis[r])))
+    if entries:
+        end.tags.append("XA:Z:" + "".join(entries))
+
+
+def emit_pair(writer, b1, b2, b, e1: EndInfo, e2: EndInfo, proper: bool):
+    """Write both records of a mapped pair with mate fields and TLEN."""
+    base = sam.FLAG_PAIRED | (sam.FLAG_PROPER if proper else 0)
+    f1 = base | sam.FLAG_FIRST | (sam.FLAG_REVERSE if e1.strand else 0) \
+        | (sam.FLAG_MATE_REVERSE if e2.strand else 0)
+    f2 = base | sam.FLAG_SECOND | (sam.FLAG_REVERSE if e2.strand else 0) \
+        | (sam.FLAG_MATE_REVERSE if e1.strand else 0)
+    if e1.chrom == e2.chrom:
+        left = min(e1.pos, e2.pos)
+        right = max(e1.pos + e1.span, e2.pos + e2.span)
+        tlen = right - left
+        t1 = tlen if e1.pos <= e2.pos else -tlen
+        t2 = -t1 if t1 != 0 else 0
+    else:
+        t1 = t2 = 0
+    writer.write(SamRecord(
+        qname=b1.names[b], flag=f1, chrom=e1.chrom, pos=e1.pos,
+        mapq=e1.mapq, cigar=e1.cigar, seq=_seq_bytes(b1, b),
+        qual=_qual_bytes(b1, b), mate_chrom=e2.chrom, mate_pos=e2.pos,
+        tlen=t1, tags=e1.tags))
+    writer.write(SamRecord(
+        qname=b2.names[b], flag=f2, chrom=e2.chrom, pos=e2.pos,
+        mapq=e2.mapq, cigar=e2.cigar, seq=_seq_bytes(b2, b),
+        qual=_qual_bytes(b2, b), mate_chrom=e1.chrom, mate_pos=e1.pos,
+        tlen=t2, tags=e2.tags))
+
+
+def _emit_unmapped_pair(writer, b1, b2, b):
+    f = sam.FLAG_PAIRED | sam.FLAG_UNMAPPED | sam.FLAG_MATE_UNMAPPED
+    writer.write(SamRecord(
+        qname=b1.names[b], flag=f | sam.FLAG_FIRST, chrom=-1, pos=-1,
+        mapq=0, cigar="", seq=_seq_bytes(b1, b), qual=_qual_bytes(b1, b)))
+    writer.write(SamRecord(
+        qname=b2.names[b], flag=f | sam.FLAG_SECOND, chrom=-1, pos=-1,
+        mapq=0, cigar="", seq=_seq_bytes(b2, b), qual=_qual_bytes(b2, b)))
+
+
+# ------------------------------------------------------------------
+# Phase B/C: half-aligned rescue
+# ------------------------------------------------------------------
+
+MAX_ANCHORS = 8  # anchors tried per pair (best-first)
+
+
+def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
+                         lens1, lens2, opts, sc, writer) -> np.ndarray:
+    """DP the unaligned mate into windows derived from anchor hits.
+
+    Geometry per HalfEndAlgnBatch::pack (DV-DPfunctions.cu:2056-2106):
+    anchor on the left leg -> mate window
+      [anchor + min_insert - mate_len, anchor + max_insert), start
+      clamped to >= anchor; anchor on the right leg -> window
+      [aEnd - max_insert, aEnd - min_insert + mate_len), end clamped to
+      < aEnd; the mate is DP'd on the opposite leg's strand.
+    """
+    u, v = opts.max_insert, opts.min_insert
+    n = int(index.n)
+    cand_rows = {"pair": [], "anchor_end": [], "anchor_row": [],
+                 "win_start": [], "win_len": [], "strand": []}
+    for b in half:
+        for (ta, st_a, anchor_end, mate_len) in (
+                (t1, st1, 0, int(lens2[b])), (t2, st2, 1, int(lens1[b]))):
+            g = ta.group(b)
+            rows = range(g.start, min(g.stop, g.start + MAX_ANCHORS))
+            for r in rows:
+                apos = int(ta.pos[r])
+                astrand = int(ta.strand[r])
+                alen = int(lens1[b]) if anchor_end == 0 else int(lens2[b])
+                if astrand == opts.strand_left_leg:
+                    ws = max(apos + v - mate_len, apos)
+                    we = apos + u
+                    mstrand = opts.strand_right_leg
+                elif astrand == opts.strand_right_leg:
+                    aend = apos + alen
+                    ws = aend - u
+                    we = min(aend - v + mate_len, aend - 1)
+                    mstrand = opts.strand_left_leg
+                else:
+                    continue
+                ws = max(ws, 0)
+                we = min(we, n)
+                if we - ws < mate_len // 2:
+                    continue
+                cand_rows["pair"].append(b)
+                cand_rows["anchor_end"].append(anchor_end)
+                cand_rows["anchor_row"].append(r)
+                cand_rows["win_start"].append(ws)
+                cand_rows["win_len"].append(we - ws)
+                cand_rows["strand"].append(mstrand)
+    if not cand_rows["pair"]:
+        return np.zeros(0, int)
+
+    pair = np.asarray(cand_rows["pair"], np.int32)
+    anchor_end = np.asarray(cand_rows["anchor_end"], np.int8)
+    anchor_row = np.asarray(cand_rows["anchor_row"], np.int64)
+    win_start = np.asarray(cand_rows["win_start"], np.int64)
+    win_len = np.asarray(cand_rows["win_len"], np.int32)
+    mstrand = np.asarray(cand_rows["strand"], np.int8)
+
+    # build the mate-read subset: one problem per candidate
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+    mreads = np.zeros((len(pair), L), np.uint8)
+    mlens = np.zeros(len(pair), np.int32)
+    for i, (b, ae) in enumerate(zip(pair, anchor_end)):
+        src = b2 if ae == 0 else b1
+        mreads[i, :src.codes.shape[1]] = src.codes[b]
+        mlens[i] = src.lens[b]
+    cand = dp_rescue.Candidates(
+        read=np.arange(len(pair), dtype=np.int32),
+        strand=mstrand, pos=win_start)
+    max_win = int(win_len.max())
+    clip_l = np.where(mstrand == 1, opts.max_end_clip, opts.max_front_clip)
+    clip_r = np.where(mstrand == 1, opts.max_front_clip, opts.max_end_clip)
+    res = dp_rescue.run_banded_dp(
+        didx, mreads, mlens, cand, win_start, win_len, max_win,
+        clip_l, clip_r,
+        np.full(len(pair), max_win + 1, np.int32),
+        np.zeros(len(pair), np.int32),
+        opts.dp_cutoff(mlens), sc, index_host=index)
+    if res.read.size == 0:
+        return np.zeros(0, int)
+
+    # best DP result per pair (highest mate score, then leftmost)
+    order = np.lexsort((res.pos, -res.score, pair[res.read]))
+    rescued = []
+    seen = set()
+    for i in order:
+        ci = int(res.read[i])
+        b = int(pair[ci])
+        if b in seen:
+            continue
+        seen.add(b)
+        ae = int(anchor_end[ci])
+        ta, sta, lens_a = (t1, st1, lens1) if ae == 0 else (t2, st2, lens2)
+        batch_a, batch_m = (b1, b2) if ae == 0 else (b2, b1)
+        lens_m = lens2 if ae == 0 else lens1
+        r = int(anchor_row[ci])
+        mq_a = int(mapq.bwa_like_single(sta.x0[b], sta.x1[b])[()]) \
+            if opts.bwa_like_score else opts.max_mapq
+        e_anchor = _gapless_end(index, batch_a, ta, r, b, mq_a,
+                                sta, opts)
+        e_mate = _dp_end(index, res, i, int(lens_m[b]), opts)
+        e_mate.mapq = min(mq_a, 29)  # mate rescued by anchor: capped quality
+        if ae == 0:
+            emit_pair(writer, b1, b2, b, e_anchor, e_mate, proper=True)
+        else:
+            emit_pair(writer, b1, b2, b, e_mate, e_anchor, proper=True)
+        rescued.append(b)
+    return np.asarray(rescued, int)
+
+
+def _dp_end(index, res, i, rlen, opts) -> EndInfo:
+    cigar = cig.runs_to_cigar(res.ops[i], res.cnts[i], int(res.nrun[i]))
+    nm, mis, go, ge = cig.runs_stats(res.ops[i], res.cnts[i], int(res.nrun[i]))
+    chrom, off = sam.translate_pos(index, np.asarray([res.pos[i]]))
+    span = _cigar_ref_span(cigar)
+    tags = [f"XM:i:{mis}", f"XO:i:{go}", f"XG:i:{ge}"]
+    if opts.output_md:
+        w0 = int(res.win_start[i])
+        wlen = int(res.pos[i]) - w0 + rlen + 64
+        wcodes = _genome_codes(index, w0, wlen)
+        md = cig.runs_to_md(res.ops[i], res.cnts[i], int(res.nrun[i]),
+                            wcodes, int(res.pos[i]) - w0)
+        tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
+    return EndInfo(chrom=int(chrom[0]), pos=int(off[0]),
+                   strand=int(res.strand[i]), cigar=cigar, span=span,
+                   mapq=0, tags=tags)
+
+
+def _cigar_ref_span(cigar: str) -> int:
+    span = 0
+    n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + ord(ch) - 48
+        else:
+            if ch in "MD=XN":
+                span += n
+            n = 0
+    return span
+
+
+# ------------------------------------------------------------------
+# Phase D: deep DP (both ends unaligned)
+# ------------------------------------------------------------------
+
+def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
+                    writer) -> np.ndarray:
+    """Seed both ends, pair candidate loci by insert window, DP both ends."""
+    sub1 = b1.codes[deep]
+    sub2 = b2.codes[deep]
+    sl1 = lens1[deep]
+    sl2 = lens2[deep]
+    max_len = int(max(sl1.max(), sl2.max()))
+    slen, spos = dp_rescue.deep_dp_seeds(max_len)
+    c1 = dp_rescue.seed_candidates(didx, sub1, sl1, slen, spos)
+    c2 = dp_rescue.seed_candidates(didx, sub2, sl2, slen, spos)
+    if c1.read.size == 0 or c2.read.size == 0:
+        return np.zeros(0, int)
+    # pair candidate loci: for each read, loci of end1 x end2 with
+    # plausible insert (positions are read-start estimates; allow the
+    # DP margin both ways, DP2_MARGIN DV-DPfunctions.cu:2549)
+    u, v = opts.max_insert, opts.min_insert
+    pairs = []  # (subset read, i1, i2)
+    by1: dict[int, list[int]] = {}
+    for i in range(c1.read.shape[0]):
+        by1.setdefault(int(c1.read[i]), []).append(i)
+    for j in range(c2.read.shape[0]):
+        rd = int(c2.read[j])
+        for i in by1.get(rd, []):
+            s1, s2 = int(c1.strand[i]), int(c2.strand[j])
+            p1, p2 = int(c1.pos[i]), int(c2.pos[j])
+            l1, l2 = int(sl1[rd]), int(sl2[rd])
+            if p1 <= p2:
+                ok = (s1 == opts.strand_left_leg and s2 == opts.strand_right_leg)
+                ins = p2 + l2 - p1
+            else:
+                ok = (s2 == opts.strand_left_leg and s1 == opts.strand_right_leg)
+                ins = p1 + l1 - p2
+            margin = dp_rescue.dp_margin(max(l1, l2))
+            if ok and v - margin <= ins <= u + margin:
+                pairs.append((rd, i, j))
+    if not pairs:
+        return np.zeros(0, int)
+    pairs = pairs[:200000]
+    rd = np.asarray([p[0] for p in pairs], np.int32)
+    i1 = np.asarray([p[1] for p in pairs], np.int64)
+    i2 = np.asarray([p[2] for p in pairs], np.int64)
+
+    res_ends = []
+    for (cc, sub, sl, ii) in ((c1, sub1, sl1, i1), (c2, sub2, sl2, i2)):
+        margin = dp_rescue.dp_margin(sl[rd])
+        pos = cc.pos[ii]
+        ws = np.maximum(pos - margin, 0)
+        wl = np.minimum(sl[rd] + 2 * margin, int(index.n) - ws).astype(np.int32)
+        cand = dp_rescue.Candidates(read=rd, strand=cc.strand[ii], pos=pos)
+        max_win = int(wl.max())
+        clip_l = np.where(cand.strand == 1, opts.max_end_clip, opts.max_front_clip)
+        clip_r = np.where(cand.strand == 1, opts.max_front_clip, opts.max_end_clip)
+        res = dp_rescue.run_banded_dp(
+            didx, sub, sl, cand, ws, wl, max_win, clip_l, clip_r,
+            np.full(len(rd), max_win + 1, np.int32),
+            np.zeros(len(rd), np.int32),
+            opts.dp_cutoff(sl[rd]), sc, index_host=index)
+        res_ends.append(res)
+    r1, r2 = res_ends
+    # both ends must pass for the same problem
+    ok1 = {int(p): i for i, p in enumerate(r1.problem)}
+    rescued = []
+    best_by_pair: dict[int, tuple[int, int, int]] = {}
+    for j, p in enumerate(r2.problem):
+        i = ok1.get(int(p))
+        if i is None:
+            continue
+        b_sub = int(rd[int(p)])
+        score = int(r1.score[i]) + int(r2.score[j])
+        cur = best_by_pair.get(b_sub)
+        if cur is None or score > cur[0]:
+            best_by_pair[b_sub] = (score, i, j)
+    for b_sub, (_, i, j) in best_by_pair.items():
+        b = int(deep[b_sub])
+        e1 = _dp_end(index, r1, i, int(lens1[b]), opts)
+        e2 = _dp_end(index, r2, j, int(lens2[b]), opts)
+        e1.mapq = e2.mapq = _deep_dp_mapq(r1, r2, i, j, opts)
+        emit_pair(writer, b1, b2, b, e1, e2, proper=True)
+        rescued.append(b)
+    return np.asarray(rescued, int)
+
+
+def _deep_dp_mapq(r1, r2, i, j, opts) -> int:
+    x0 = max(int(r1.n_best_cells[i]), 1) * max(int(r2.n_best_cells[j]), 1)
+    return int(mapq.bwa_like_single(np.asarray(x0), np.asarray(0))[()])
+
+
+# ------------------------------------------------------------------
+# Phase E: single-end salvage for leftover pairs
+# ------------------------------------------------------------------
+
+def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
+                          opts, sc, writer, summary) -> int:
+    """Try single-end DP on each end; emit unpaired or unmapped records."""
+    from soap3dp_tpu.pipeline.single import _dp_salvage
+
+    n_records = 0
+    results = {}
+    for (end, batch, lens) in ((0, b1, lens1), (1, b2, lens2)):
+        got = _salvage_end(index, didx, batch, leftover, lens, opts, sc)
+        results[end] = got
+    for b in leftover:
+        got1 = results[0].get(int(b))
+        got2 = results[1].get(int(b))
+        for (end, batch, got, mate_got) in ((0, b1, got1, got2),
+                                            (1, b2, got2, got1)):
+            flag = sam.FLAG_PAIRED | (sam.FLAG_FIRST if end == 0 else sam.FLAG_SECOND)
+            if got is None:
+                flag |= sam.FLAG_UNMAPPED
+                if mate_got is None:
+                    flag |= sam.FLAG_MATE_UNMAPPED
+                writer.write(SamRecord(
+                    qname=batch.names[b], flag=flag, chrom=-1, pos=-1,
+                    mapq=0, cigar="", seq=_seq_bytes(batch, b),
+                    qual=_qual_bytes(batch, b),
+                    mate_chrom=mate_got.chrom if mate_got else -1,
+                    mate_pos=mate_got.pos if mate_got else 0))
+            else:
+                if mate_got is None:
+                    flag |= sam.FLAG_MATE_UNMAPPED
+                else:
+                    flag |= sam.FLAG_MATE_REVERSE if mate_got.strand else 0
+                flag |= sam.FLAG_REVERSE if got.strand else 0
+                writer.write(SamRecord(
+                    qname=batch.names[b], flag=flag, chrom=got.chrom,
+                    pos=got.pos, mapq=got.mapq, cigar=got.cigar,
+                    seq=_seq_bytes(batch, b), qual=_qual_bytes(batch, b),
+                    mate_chrom=mate_got.chrom if mate_got else -1,
+                    mate_pos=mate_got.pos if mate_got else 0,
+                    tags=got.tags))
+                summary.single_rescued += 1
+            n_records += 1
+        if got1 is None and got2 is None:
+            summary.unaligned += 1
+    return n_records
+
+
+def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInfo]:
+    reads = batch.codes[subset]
+    sl = lens[subset]
+    max_len = int(sl.max())
+    seed_len, seed_pos = dp_rescue.single_dp_seeds(max_len)
+    cand = dp_rescue.seed_candidates(didx, reads, sl, seed_len, seed_pos)
+    if cand.read.size == 0:
+        return {}
+    margin = dp_rescue.dp_margin(sl[cand.read])
+    ws = np.maximum(cand.pos - margin, 0)
+    wl = np.minimum(sl[cand.read] + 2 * margin, int(index.n) - ws).astype(np.int32)
+    max_win = int(wl.max())
+    M = cand.read.shape[0]
+    clip_l = np.where(cand.strand == 1, opts.max_end_clip, opts.max_front_clip)
+    clip_r = np.where(cand.strand == 1, opts.max_front_clip, opts.max_end_clip)
+    res = dp_rescue.run_banded_dp(
+        didx, reads, sl, cand, ws, wl, max_win, clip_l, clip_r,
+        np.full(M, max_win + 1, np.int32), np.zeros(M, np.int32),
+        opts.dp_cutoff(sl[cand.read]), sc, index_host=index)
+    out: dict[int, EndInfo] = {}
+    order = np.lexsort((res.pos, -res.score, res.read))
+    for i in order:
+        b = int(subset[int(res.read[i])])
+        if b in out:
+            continue
+        e = _dp_end(index, res, i, int(lens[b]), opts)
+        e.mapq = int(mapq.bwa_like_single(
+            np.asarray(max(int(res.n_best_cells[i]), 1)), np.asarray(0))[()])
+        out[b] = e
+    return out

@@ -1,0 +1,247 @@
+"""Single-end alignment pipeline.
+
+The rebuild of soap3_dp_single_align (alignment.cu:2433-2635): a BWT
+mismatch phase over the whole batch, output-mode selection, then DP
+salvage of unaligned reads (DPForUnalignSingle2,
+DV-DPForSingleReads.cu) when DP is enabled (no -s flag).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from soap3dp_tpu.fm.fmindex import DeviceIndex
+from soap3dp_tpu.fm.search import SearchConfig, search_reads
+from soap3dp_tpu.index.builder import Index
+from soap3dp_tpu.io import sam
+from soap3dp_tpu.io.fastq import ReadBatch
+from soap3dp_tpu.io.sam import SamRecord, SamWriter
+from soap3dp_tpu.kernels.banded_dp import DPScores
+from soap3dp_tpu.pipeline import cigar as cig
+from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
+from soap3dp_tpu.pipeline import options as opt
+from soap3dp_tpu.pipeline.options import AlignOptions
+from soap3dp_tpu.utils import dna
+
+
+@dataclasses.dataclass
+class BatchSummary:
+    num_reads: int = 0
+    aligned_bwt: int = 0
+    aligned_dp: int = 0
+    unaligned: int = 0
+    num_records: int = 0
+
+    def add(self, other: "BatchSummary") -> None:
+        for f in dataclasses.fields(self):
+            setattr(self, f.name, getattr(self, f.name) + getattr(other, f.name))
+
+
+def _qual_bytes(batch: ReadBatch, b: int) -> bytes | None:
+    if batch.quals is None:
+        return None
+    return batch.quals[b, : batch.lens[b]].tobytes()
+
+
+def _seq_bytes(batch: ReadBatch, b: int) -> bytes:
+    return dna.decode(batch.codes[b, : batch.lens[b]])
+
+
+def align_single_batch(
+    index: Index,
+    didx: DeviceIndex,
+    batch: ReadBatch,
+    opts: AlignOptions,
+    writer: SamWriter,
+) -> BatchSummary:
+    B = len(batch)
+    summary = BatchSummary(num_reads=B)
+    lens = batch.lens.astype(np.int32)
+    k = opts.effective_mismatches(int(lens.max()) if B else 0)
+
+    if opts.skip_bwt_alignment:
+        table = hits.HitTable(
+            read_id=np.zeros(0, np.int32), strand=np.zeros(0, np.int8),
+            pos=np.zeros(0, np.uint32), nmis=np.zeros(0, np.int32),
+            start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
+    else:
+        raw = search_reads(didx, batch.codes, lens, SearchConfig(k=k))
+        table = hits.hits_to_table(raw, B, index, lens)
+    stats = hits.read_stats(table, B)
+    selected, primary = hits.select_output(
+        table, stats, B, opts.output_mode, opts.max_output_per_read,
+        opts.random_seed)
+
+    if opts.bwa_like_score:
+        mq = mapq.bwa_like_single(stats.x0, stats.x1)
+    else:
+        mq = mapq.table_single(np.maximum(stats.best_nmis, 0), 20,
+                               stats.x0, stats.x1,
+                               opts.max_mapq, opts.min_mapq)
+
+    emitted = np.zeros(B, bool)
+    for b in np.flatnonzero(primary >= 0):
+        p = int(primary[b])
+        rec = _gapless_record(index, batch, table, selected, b, p,
+                              int(mq[b]), stats, opts)
+        writer.write(rec)
+        emitted[b] = True
+        summary.aligned_bwt += 1
+        summary.num_records += 1
+
+    # DP salvage for reads with no BWT hit at all
+    no_hit = stats.best_nmis < 0
+    if opts.dp_for_too_many_hits:
+        no_hit |= table.flagged
+    rescue = np.flatnonzero(no_hit & ~emitted) if opts.dp_enabled else np.zeros(0, int)
+    if rescue.size:
+        n = _dp_salvage(index, didx, batch, rescue, opts, writer)
+        summary.aligned_dp += len(n)
+        summary.num_records += len(n)
+        emitted[n] = True
+
+    for b in np.flatnonzero(~emitted):
+        writer.write(SamRecord(
+            qname=batch.names[b], flag=sam.FLAG_UNMAPPED, chrom=-1, pos=-1,
+            mapq=0, cigar="", seq=_seq_bytes(batch, b),
+            qual=_qual_bytes(batch, b)))
+        summary.unaligned += 1
+        summary.num_records += 1
+    return summary
+
+
+def _gapless_record(index, batch, table, selected, b, p, mq, stats, opts
+                    ) -> SamRecord:
+    rlen = int(batch.lens[b])
+    strand = int(table.strand[p])
+    chrom, off = sam.translate_pos(index, np.asarray([table.pos[p]]))
+    tags = [f"X0:i:{stats.x0[b]}", f"X1:i:{stats.x1[b]}",
+            f"XM:i:{table.nmis[p]}", "XO:i:0", "XG:i:0"]
+    if opts.output_md:
+        codes = batch.codes[b, :rlen]
+        if strand:
+            codes = dna.revcomp_codes(codes)
+        md, nm = sam.mismatch_md(index, int(table.pos[p]), codes)
+        tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
+    # XA alternates: other selected hits of this read
+    g = table.group(b)
+    alts = [i for i in range(g.start, g.stop)
+            if selected[i] and i != p]
+    if alts:
+        entries = []
+        for i in alts[: opts.max_output_per_read]:
+            c2, o2 = sam.translate_pos(index, np.asarray([table.pos[i]]))
+            entries.append(sam.xa_entry(
+                writer_name(index, int(c2[0])), int(table.strand[i]),
+                int(o2[0]), f"{rlen}M", int(table.nmis[i])))
+        tags.append("XA:Z:" + "".join(entries))
+    return SamRecord(
+        qname=batch.names[b],
+        flag=sam.FLAG_REVERSE if strand else 0,
+        chrom=int(chrom[0]), pos=int(off[0]), mapq=mq,
+        cigar=f"{rlen}M", seq=_seq_bytes(batch, b),
+        qual=_qual_bytes(batch, b), tags=tags)
+
+
+def writer_name(index: Index, chrom: int) -> bytes:
+    return index.names[chrom].encode()
+
+
+def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
+    """DP-rescue the given read subset; returns read ids that aligned."""
+    reads = batch.codes[rescue]
+    lens = batch.lens[rescue].astype(np.int32)
+    max_len = int(lens.max())
+    seed_len, seed_pos = dp_rescue.single_dp_seeds(max_len)
+    cand = dp_rescue.seed_candidates(didx, reads, lens, seed_len, seed_pos)
+    if cand.read.size == 0:
+        return np.zeros(0, int)
+    margin = dp_rescue.dp_margin(lens[cand.read])
+    win_start = np.maximum(cand.pos - margin, 0)
+    win_len = (lens[cand.read] + 2 * margin).astype(np.int64)
+    n = int(index.n)
+    win_len = np.minimum(win_len, n - win_start).astype(np.int32)
+    max_win = int(max_len + 2 * int(dp_margin_scalar(max_len)))
+    sc = DPScores(opts.match_score, opts.mismatch_score,
+                  opts.gap_open_score, opts.gap_extend_score)
+    M = cand.read.shape[0]
+    clip_l = np.where(cand.strand == 1, opts.max_end_clip, opts.max_front_clip)
+    clip_r = np.where(cand.strand == 1, opts.max_front_clip, opts.max_end_clip)
+    res = dp_rescue.run_banded_dp(
+        didx, reads, lens, cand, win_start, win_len, max_win,
+        clip_l, clip_r,
+        np.full(M, max_win + 1, np.int32), np.zeros(M, np.int32),
+        opts.dp_cutoff(lens[cand.read]), sc, index_host=index)
+    if res.read.size == 0:
+        return np.zeros(0, int)
+    # dedupe identical final placements, group per read, best-first
+    order = np.lexsort((res.pos, res.strand, -res.score, res.read))
+    aligned_reads = []
+    by_read: dict[int, list[int]] = {}
+    seen = set()
+    for i in order:
+        key = (int(res.read[i]), int(res.strand[i]), int(res.pos[i]))
+        if key in seen:
+            continue
+        seen.add(key)
+        by_read.setdefault(int(res.read[i]), []).append(int(i))
+    for rsub, rows in by_read.items():
+        b = int(rescue[rsub])
+        best = res.score[rows[0]]
+        x0 = sum(1 for i in rows if res.score[i] == best)
+        x1 = len(rows) - x0
+        rlen = int(batch.lens[b])
+        mq = int(mapq.dp_single(
+            rlen * opts.match_score, 20, x0, 0, x1, best,
+            res.score[rows[1]] if len(rows) > 1 else 0,
+            int(opts.dp_cutoff(rlen)), opts.max_mapq, opts.min_mapq,
+            opts.bwa_like_score)[()])
+        rec = _dp_record(index, batch, res, rows, b, mq, x0, x1, opts)
+        writer.write(rec)
+        aligned_reads.append(b)
+    return np.asarray(aligned_reads, int)
+
+
+def dp_margin_scalar(rlen: int) -> int:
+    return rlen >> 2 if rlen > 100 else 25
+
+
+def _dp_record(index, batch, res, rows, b, mq, x0, x1, opts) -> SamRecord:
+    i = rows[0]
+    strand = int(res.strand[i])
+    rlen = int(batch.lens[b])
+    cigar = cig.runs_to_cigar(res.ops[i], res.cnts[i], int(res.nrun[i]))
+    nm, mis, go, ge = cig.runs_stats(res.ops[i], res.cnts[i], int(res.nrun[i]))
+    chrom, off = sam.translate_pos(index, np.asarray([res.pos[i]]))
+    tags = [f"X0:i:{x0}", f"X1:i:{x1}", f"XM:i:{mis}", f"XO:i:{go}",
+            f"XG:i:{ge}"]
+    if opts.output_md:
+        w0 = int(res.win_start[i])
+        wlen = int(res.pos[i]) - w0 + rlen + 64
+        wcodes = _genome_codes(index, w0, wlen)
+        md = cig.runs_to_md(res.ops[i], res.cnts[i], int(res.nrun[i]),
+                            wcodes, int(res.pos[i]) - w0)
+        tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
+    if len(rows) > 1:
+        entries = []
+        for j in rows[1: opts.max_output_per_read]:
+            c2, o2 = sam.translate_pos(index, np.asarray([res.pos[j]]))
+            cg = cig.runs_to_cigar(res.ops[j], res.cnts[j], int(res.nrun[j]))
+            nm2 = cig.runs_stats(res.ops[j], res.cnts[j], int(res.nrun[j]))[0]
+            entries.append(sam.xa_entry(
+                writer_name(index, int(c2[0])), int(res.strand[j]),
+                int(o2[0]), cg, nm2))
+        tags.append("XA:Z:" + "".join(entries))
+    return SamRecord(
+        qname=batch.names[b],
+        flag=sam.FLAG_REVERSE if strand else 0,
+        chrom=int(chrom[0]), pos=int(off[0]), mapq=mq, cigar=cigar,
+        seq=_seq_bytes(batch, b), qual=_qual_bytes(batch, b), tags=tags)
+
+
+def _genome_codes(index: Index, start: int, length: int) -> np.ndarray:
+    w0, w1 = start // 16, (start + length + 15) // 16
+    return dna.unpack_words(np.asarray(index.pac[w0:w1 + 1]),
+                            (w1 + 1 - w0) * 16)[start % 16:][:length]

@@ -1,0 +1,219 @@
+"""End-to-end pipeline tests: reads in, SAM records out."""
+
+import io
+
+import numpy as np
+import pytest
+
+from soap3dp_tpu.io.fastq import ReadBatch
+from soap3dp_tpu.io.sam import SamWriter
+from soap3dp_tpu.pipeline.options import AlignOptions
+from soap3dp_tpu.pipeline.pair import align_pair_batch
+from soap3dp_tpu.pipeline.single import align_single_batch
+from soap3dp_tpu.utils import dna
+
+
+def make_batch(seqs: list[np.ndarray], max_len=64) -> ReadBatch:
+    B = len(seqs)
+    codes = np.zeros((B, max_len), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        codes[i, :len(s)] = s
+        lens[i] = len(s)
+    names = [f"r{i}".encode() for i in range(B)]
+    return ReadBatch(names=names, codes=codes, lens=lens, quals=None)
+
+
+def run_single(index, didx, batch, **kw):
+    opts = AlignOptions(**kw)
+    buf = io.BytesIO()
+    w = SamWriter(buf, index)
+    summary = align_single_batch(index, didx, batch, opts, w)
+    return summary, parse_sam(buf.getvalue())
+
+
+def run_pair(index, didx, b1, b2, **kw):
+    opts = AlignOptions(**kw)
+    buf = io.BytesIO()
+    w = SamWriter(buf, index)
+    summary = align_pair_batch(index, didx, b1, b2, opts, w)
+    return summary, parse_sam(buf.getvalue())
+
+
+def parse_sam(data: bytes):
+    recs = []
+    for line in data.decode().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        recs.append(dict(
+            qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
+            mapq=int(f[4]), cigar=f[5], rnext=f[6], pnext=int(f[7]),
+            tlen=int(f[8]), seq=f[9], qual=f[10],
+            tags={t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}))
+    return recs
+
+
+def cigar_read_span(cigar: str) -> int:
+    span = n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + ord(ch) - 48
+        else:
+            if ch in "MIS=X":
+                span += n
+            n = 0
+    return span
+
+
+@pytest.fixture(scope="module")
+def planted(small_genome, rng):
+    codes = small_genome.codes
+    L = 50
+    pos = rng.integers(100, len(codes) - 200, size=8)
+    return codes, L, pos
+
+
+def test_single_exact_and_mismatch(small_index, small_device_index, planted, rng):
+    codes, L, pos = planted
+    seqs = []
+    for i, p in enumerate(pos[:4]):
+        s = codes[p:p + L].copy()
+        if i >= 2:
+            s[10] = (s[10] + 1) % 4  # one planted mismatch
+        if i % 2 == 1:
+            s = dna.revcomp_codes(s)
+        seqs.append(s)
+    seqs.append(rng.integers(0, 4, L).astype(np.uint8))  # junk, likely unmapped
+    batch = make_batch(seqs)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               max_mismatches=2, output_md=True)
+    assert summary.num_reads == 5
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos[:4]):
+        r = byname[f"r{i}"]
+        assert r["pos"] == p + 1, i
+        assert (r["flag"] & 0x10 != 0) == (i % 2 == 1)
+        assert r["cigar"] == f"{L}M"
+        assert int(r["tags"]["XM"]) == (1 if i >= 2 else 0)
+        assert int(r["tags"]["NM"]) == (1 if i >= 2 else 0)
+        assert r["mapq"] == 37  # unique hits, bwa-like
+        # SEQ is output in reference orientation
+        assert cigar_read_span(r["cigar"]) == len(r["seq"])
+
+
+def test_single_dp_rescues_indel(small_index, small_device_index, planted):
+    codes, L, pos = planted
+    p = int(pos[4])
+    s = codes[p:p + L].copy()
+    s = np.concatenate([s[:35], s[38:]])  # 3bp deletion in the read
+    batch = make_batch([s])
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               output_md=True)  # DP enabled (no -s)
+    assert summary.aligned_dp == 1
+    r = recs[0]
+    assert r["pos"] == p + 1
+    assert "D" in r["cigar"]
+    assert r["cigar"] == "35M3D12M"
+    assert int(r["tags"]["NM"]) == 3
+    assert r["tags"]["MD"].startswith("35^")
+
+
+def test_single_insertion(small_index, small_device_index, planted):
+    codes, L, pos = planted
+    p = int(pos[5])
+    s = codes[p:p + L].copy()
+    s = np.concatenate([s[:30], np.array([(s[30] + 2) % 4] * 2, np.uint8), s[30:]])
+    batch = make_batch([s])
+    summary, recs = run_single(small_index, small_device_index, batch)
+    assert summary.aligned_dp == 1
+    assert recs[0]["pos"] == p + 1
+    assert "I" in recs[0]["cigar"]
+
+
+def test_single_output_modes(small_index, small_device_index, small_genome, rng):
+    codes = small_genome.codes
+    # construct a read that occurs at 2+ places: append a repeat to test
+    p = int(rng.integers(0, len(codes) - 40))
+    s = codes[p:p + 30]
+    batch = make_batch([s.copy()])
+    for mode in (1, 2, 3, 4):
+        summary, recs = run_single(small_index, small_device_index, batch,
+                                   max_mismatches=0, output_mode=mode)
+        assert len(recs) == 1
+        assert recs[0]["flag"] & 0x4 == 0
+
+
+def test_pair_proper(small_index, small_device_index, small_genome, rng):
+    codes = small_genome.codes
+    L = 40
+    insert = 200
+    p = int(rng.integers(100, len(codes) - 500))
+    left = codes[p:p + L].copy()
+    right = dna.revcomp_codes(codes[p + insert - L:p + insert])
+    b1 = make_batch([left])
+    b2 = make_batch([right])
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             min_insert=100, max_insert=300)
+    assert summary.paired_bwt == 1
+    r1 = next(r for r in recs if r["flag"] & 0x40)
+    r2 = next(r for r in recs if r["flag"] & 0x80)
+    assert r1["flag"] & 0x2 and r2["flag"] & 0x2
+    assert r1["pos"] == p + 1
+    assert r2["pos"] == p + insert - L + 1
+    assert r1["tlen"] == insert and r2["tlen"] == -insert
+    assert not r1["flag"] & 0x10 and r2["flag"] & 0x10
+    assert r1["rnext"] == "="
+
+
+def test_pair_half_aligned_rescue(small_index, small_device_index,
+                                  small_genome, rng):
+    codes = small_genome.codes
+    L = 40
+    insert = 180
+    p = int(rng.integers(100, len(codes) - 500))
+    left = codes[p:p + L].copy()
+    right_src = codes[p + insert - L:p + insert].copy()
+    # give the mate an indel so the BWT stage can't place it
+    right_src = np.concatenate([right_src[:15], right_src[18:]])
+    right = dna.revcomp_codes(right_src)
+    b1 = make_batch([left])
+    b2 = make_batch([right])
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             min_insert=100, max_insert=300)
+    assert summary.paired_dp == 1
+    r2 = next(r for r in recs if r["flag"] & 0x80)
+    assert "D" in r2["cigar"]
+    assert r2["pos"] == p + insert - L + 1
+    assert r2["flag"] & 0x2
+
+
+def test_pair_deep_dp(small_index, small_device_index, small_genome, rng):
+    codes = small_genome.codes
+    L = 48
+    insert = 220
+    p = int(rng.integers(100, len(codes) - 500))
+    left = codes[p:p + L].copy()
+    right_src = codes[p + insert - L:p + insert].copy()
+    # both ends get indels -> deep DP path
+    left = np.concatenate([left[:22], left[24:]])
+    right_src = np.concatenate([right_src[:25], right_src[27:]])
+    right = dna.revcomp_codes(right_src)
+    b1 = make_batch([left])
+    b2 = make_batch([right])
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             min_insert=100, max_insert=300)
+    assert summary.paired_dp == 1
+    r1 = next(r for r in recs if r["flag"] & 0x40)
+    assert r1["pos"] == p + 1
+    assert "D" in r1["cigar"]
+
+
+def test_pair_unmapped(small_index, small_device_index, rng):
+    b1 = make_batch([rng.integers(0, 4, 40).astype(np.uint8)])
+    b2 = make_batch([rng.integers(0, 4, 40).astype(np.uint8)])
+    summary, recs = run_pair(small_index, small_device_index, b1, b2)
+    assert len(recs) == 2
+    # ends may DP-salvage by chance on a 20kb genome; just require both
+    # records present with pair flags
+    assert all(r["flag"] & 0x1 for r in recs)
