@@ -122,15 +122,17 @@ def build_index(
 def _build_fmi(bwt: np.ndarray, n: int) -> np.ndarray:
     """Interleave per-block cumulative occ counts with packed BWT words."""
     nb = n // OCC_INTERVAL + 1
-    padded = np.zeros(nb * OCC_INTERVAL, dtype=np.uint8)
+    padded = np.full(nb * OCC_INTERVAL, 255, dtype=np.uint8)
     padded[:n] = bwt
-    # Per-block counts of each base. Padding (code 0) is excluded by
-    # counting only the first n positions.
-    onehot = np.zeros((nb * OCC_INTERVAL, 4), dtype=np.uint32)
-    onehot[np.arange(n), bwt] = 1
-    block_counts = onehot.reshape(nb, OCC_INTERVAL, 4).sum(axis=1, dtype=np.uint32)
+    # Per-block counts of each base (memory-light: one bool pass per base;
+    # padding is code 255 so it never counts).
+    starts = np.arange(nb) * OCC_INTERVAL
+    block_counts = np.empty((nb, 4), dtype=np.uint32)
+    for c in range(4):
+        block_counts[:, c] = np.add.reduceat((padded == c), starts)
     occ = np.zeros((nb, 4), dtype=np.uint32)
     np.cumsum(block_counts[:-1], axis=0, out=occ[1:])
+    padded[padded == 255] = 0  # pack padding as A (masked by occ counts)
 
     words = dna.pack_codes(padded).reshape(nb, WORDS_PER_BLOCK)
     return np.concatenate([occ, words], axis=1).astype(np.uint32)
@@ -164,23 +166,31 @@ def _build_lut(codes: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, n
     prefix — exactly matching backward-search semantics.
     """
     n = codes.shape[0]
-    keys = np.zeros(n + 1, dtype=np.int64)
-    sa64 = sa.astype(np.int64)
+    # Row counts, not searches: the SA rows whose suffix starts with
+    # pattern m form a contiguous run of length #occurrences(m), and
+    # lo[m] = 1 (sentinel row) + #short suffixes sorting below m
+    #       + #full k-mers with pattern < m.
+    # So the whole table is one k-pass rolling k-mer value over the
+    # text + a bincount + cumsum — no suffix-array access at all.
+    del sa  # unused: kept for signature stability
+    mt = np.zeros(n, dtype=np.int32)
+    c32 = codes.astype(np.int32)
     for j in range(k):
-        pos = sa64 + j
-        in_range = pos < n
-        digit = np.where(in_range, codes[np.minimum(pos, n - 1)].astype(np.int64) + 1, 0)
-        keys = keys * 5 + digit
-    # keys are ascending because sa is sorted and base-5 order matches
-    # lexicographic order with sentinel < A < C < G < T.
-    m = np.arange(4 ** k, dtype=np.int64)
-    q = np.zeros_like(m)
-    for j in range(k):
-        digit = (m >> (2 * (k - 1 - j))) & 3
-        q = q * 5 + digit + 1
-    lo = np.searchsorted(keys, q, side="left").astype(np.uint32)
-    hi = np.searchsorted(keys, q, side="right").astype(np.uint32)
-    return lo, hi
+        mt[: n - j] += c32[j:] << (2 * (k - 1 - j))
+    size = 4 ** k
+    valid = max(n - k + 1, 0)
+    cnts = np.bincount(mt[:valid], minlength=size).astype(np.int64)
+    # short suffixes (length 1..k-1): each sorts immediately before the
+    # patterns it prefixes (its past-the-end ranks below any base)
+    bumps = np.zeros(size, dtype=np.int64)
+    for start in range(valid, n):
+        m_v = 0
+        for j in range(n - start):
+            m_v |= int(codes[start + j]) << (2 * (k - 1 - j))
+        bumps[m_v] += 1
+    lo64 = 1 + np.concatenate(([0], np.cumsum(cnts[:-1]))) + np.cumsum(bumps)
+    hi64 = lo64 + cnts
+    return lo64.astype(np.uint32), hi64.astype(np.uint32)
 
 
 # ------------------------------------------------------------------

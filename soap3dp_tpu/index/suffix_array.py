@@ -23,10 +23,19 @@ import numpy as np
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array of codes + sentinel. Returns uint32 array of length n+1."""
+    """Suffix array of codes + sentinel. Returns uint32 array of length n+1.
+
+    Uses the native SA-IS extension when available (O(n), built from
+    native/sais.cpp on first use); falls back to numpy prefix doubling.
+    """
     n = int(codes.shape[0])
     if n == 0:
         return np.zeros(1, dtype=np.uint32)
+    if n >= 1 << 14:  # native path worth the call overhead
+        from soap3dp_tpu.index import sais_native
+        sa = sais_native.suffix_array_sais(codes)
+        if sa is not None:
+            return sa
     # rank[i] = rank of suffix i's current-depth prefix; sentinel gets 0.
     rank = np.zeros(n + 1, dtype=np.int64)
     rank[:n] = codes.astype(np.int64) + 1

@@ -1,0 +1,54 @@
+"""Multi-device data parallelism on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soap3dp_tpu.distributed import mesh as dmesh
+from soap3dp_tpu.fm.search import SearchConfig, search_reads
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return dmesh.make_mesh(jax.devices()[:8])
+
+
+def test_sharded_search_matches_single_device(mesh8, small_index,
+                                              small_device_index,
+                                              small_genome, rng):
+    codes = small_genome.codes
+    B, L = 64, 40
+    pos = rng.integers(0, len(codes) - L, B)
+    reads = np.stack([codes[p:p + L] for p in pos]).astype(np.uint8)
+    lens = np.full(B, L, np.int32)
+    cfg = SearchConfig(k=1, occ_cap=8)
+
+    # single-device reference result
+    ref = search_reads(small_device_index, reads, lens, cfg)
+    ref_tp, ref_nm, ref_va, _ = ref.to_host()
+
+    didx = dmesh.replicate_index(small_index, mesh8)
+    sreads, slens, B0 = dmesh.shard_batch(mesh8, reads, lens)
+    hits, n_aligned = dmesh.alignment_step(
+        mesh8, didx, sreads, slens, cfg, max_steps=L // 2)
+    tp, nm, va, _ = hits.to_host()
+    assert n_aligned == B  # every read was sampled from the genome
+    # same hit sets per read (rows: fwd 0..B-1 then rc)
+    for row in range(2 * B):
+        got = set(map(tuple, np.stack(
+            [tp[row][va[row]], nm[row][va[row]]], axis=1).tolist()))
+        want = set(map(tuple, np.stack(
+            [ref_tp[row][ref_va[row]], ref_nm[row][ref_va[row]]], axis=1).tolist()))
+        assert got == want, row
+
+
+def test_graft_entry_hooks():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(min(8, len(jax.devices())))

@@ -1,0 +1,132 @@
+"""IO layer tests: FASTQ/FASTA readers, succinct format, BAM container, ini."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from soap3dp_tpu.io import fastq
+from soap3dp_tpu.io.sam import SamRecord
+from soap3dp_tpu.io.succinct import BamWriter, SuccinctWriter, read_succinct
+from soap3dp_tpu.utils import dna
+
+
+def test_fastq_reader(tmp_path):
+    p = tmp_path / "r.fq"
+    p.write_text("@a x\nACGT\n+\nIIII\n@b\nGGTTAA\n+\nABCDEF\n")
+    batches = list(fastq.read_single(p, batch_size=10, max_len=8))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.names == [b"a", b"b"]
+    assert list(b.lens) == [4, 6]
+    assert dna.decode(b.codes[0, :4]) == b"ACGT"
+    assert b.quals[1, :6].tobytes() == b"ABCDEF"
+
+
+def test_fasta_reader_multiline_gz(tmp_path):
+    p = tmp_path / "r.fa.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(">x\nACGT\nACGT\n>y desc\nTTTT\n")
+    b = next(fastq.read_single(p, max_len=16))
+    assert b.names == [b"x", b"y"]
+    assert dna.decode(b.codes[0, :8]) == b"ACGTACGT"
+    assert b.quals is None
+
+
+def test_paired_reader_lockstep_and_interleaved(tmp_path):
+    p1 = tmp_path / "1.fq"
+    p2 = tmp_path / "2.fq"
+    p1.write_text("@a/1\nAAAA\n+\nIIII\n")
+    p2.write_text("@a/2\nCCCC\n+\nIIII\n")
+    (b1, b2), = list(fastq.read_pairs(p1, p2, max_len=8))
+    assert dna.decode(b1.codes[0, :4]) == b"AAAA"
+    assert dna.decode(b2.codes[0, :4]) == b"CCCC"
+    pi = tmp_path / "i.fq"
+    pi.write_text("@a/1\nAAAA\n+\nIIII\n@a/2\nCCCC\n+\nIIII\n")
+    (c1, c2), = list(fastq.read_pairs(pi, None, max_len=8))
+    assert np.array_equal(c1.codes, b1.codes)
+    assert np.array_equal(c2.codes, b2.codes)
+
+
+def test_read_truncation_warns(tmp_path, capsys):
+    p = tmp_path / "r.fq"
+    p.write_text("@a\n" + "A" * 300 + "\n+\n" + "I" * 300 + "\n")
+    b = next(fastq.read_single(p, max_len=128))
+    assert b.lens[0] == 128
+
+
+def test_succinct_roundtrip(tmp_path, small_index):
+    path = tmp_path / "o.gout"
+    w = SuccinctWriter(path, small_index)
+    w.write(SamRecord(qname=b"q1", flag=16, chrom=1, pos=99, mapq=37,
+                      cigar="50M", seq=b"A" * 50, qual=None,
+                      tags=["NM:i:2"]))
+    w.close()
+    names, lens, recs = read_succinct(path)
+    assert names == small_index.names
+    assert recs == [(b"q1", 16, 1, 99, 37, "50M", 2)]
+
+
+def test_bam_container(tmp_path, small_index):
+    path = tmp_path / "o.bam"
+    w = BamWriter(path, small_index)
+    w.write(SamRecord(qname=b"q1", flag=0, chrom=0, pos=10, mapq=37,
+                      cigar="4M", seq=b"ACGT", qual=b"IIII",
+                      tags=["NM:i:0", "MD:Z:4"]))
+    w.close()
+    raw = gzip.decompress(path.read_bytes())
+    assert raw[:4] == b"BAM\x01"
+    (ltext,) = struct.unpack_from("<i", raw, 4)
+    (nref,) = struct.unpack_from("<i", raw, 8 + ltext)
+    assert nref == len(small_index.names)
+    # first alignment block parses
+    off = 12 + ltext
+    for _ in range(nref):
+        (lname,) = struct.unpack_from("<i", raw, off)
+        off += 8 + lname
+    (bsize,) = struct.unpack_from("<i", raw, off)
+    refid, pos, lqname, mapq = struct.unpack_from("<iiBB", raw, off + 4)
+    assert (refid, pos, mapq) == (0, 10, 37)
+    qname = raw[off + 4 + 32: off + 4 + 32 + lqname - 1]
+    assert qname == b"q1"
+
+
+def test_ini_loading(tmp_path):
+    from soap3dp_tpu.cli.ini import load_ini_options
+    p = tmp_path / "soap3-dp.ini"
+    p.write_text("""[Alignment]
+MaxOutputPerRead=55
+Soap3MisMatchAllow=3
+[PairEnd]
+StrandArrangement=-/+
+[DP]
+MatchScore=2
+DPScoreThreshold=30
+[Score]
+BWALikeScore=0
+[Clipping]
+MaxFrontLenClipped=10
+""")
+    o = load_ini_options(str(p))
+    assert o.max_output_per_read == 55
+    assert o.soap3_mismatch_allow == 3
+    assert (o.strand_left_leg, o.strand_right_leg) == (1, 0)
+    assert o.match_score == 2
+    assert o.dp_score_threshold == 30
+    assert o.bwa_like_score is False
+    assert o.max_front_clip == 10
+
+
+def test_mapq_reference_values():
+    """Spot values derived from the reference formulas (BGS-IO.cpp)."""
+    from soap3dp_tpu.pipeline import mapq
+    assert mapq.bwa_like_single(1, 0) == 37
+    assert mapq.bwa_like_single(2, 0) == 0
+    assert mapq.bwa_like_single(1, 1) == 23   # g_log_n[1] = 0
+    assert mapq.bwa_like_single(1, 2) == 20   # g_log_n[2] = 3
+    assert mapq.bwa_like_single(1, 255) == 0  # 23 < g_log_n[255]
+    m0, m1 = mapq.bwa_like_pair(1, 0, 1, 0, 100, 1, 0, 0, 100, 100)
+    assert (m0, m1) == (60, 60)  # 37+37 capped
+    m0, m1 = mapq.bwa_like_pair(2, 0, 1, 0, 195, 1, 0, 0, 100, 100)
+    assert m0 == min(29 + 7, 37) and m1 == 37
