@@ -166,16 +166,14 @@ def align_pair_batch(
     combos = pair_hits(t1, t2, B, lens1, lens2, opts)
 
     done = np.zeros(B, bool)
-    # ---- phase A: emit BWT pairs ----
-    for b in range(B):
-        g = slice(combos.start[b], combos.start[b + 1])
-        if g.start == g.stop:
-            continue
-        _emit_bwt_pair(index, writer, b1, b2, t1, t2, st1, st2, combos, g,
-                       b, lens1, lens2, opts)
-        done[b] = True
-        summary.paired_bwt += 1
-        summary.num_records += 2
+    # ---- phase A: emit BWT pairs (vectorized batch emission) ----
+    paired = np.flatnonzero(np.diff(combos.start) > 0)
+    if paired.size:
+        _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2,
+                              combos, paired, lens1, lens2, opts)
+        done[paired] = True
+        summary.paired_bwt += len(paired)
+        summary.num_records += 2 * len(paired)
 
     if opts.dp_enabled:
         # ---- phase B/C: half-aligned rescue ----
@@ -217,61 +215,134 @@ def _empty_table(B):
         start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
 
 
-def _select_combo(combos: PairCombos, g: slice, mode: int, cap: int,
-                  seed: int, b: int) -> tuple[int, np.ndarray]:
-    """(primary combo row, alternate combo rows) under the -h mode.
-    Group is sorted by (total_nm, pos1, pos2)."""
-    tnm = combos.total_nm[g]
-    best = tnm[0]
-    n_best = int((tnm == best).sum())
-    if mode == opt.OUTPUT_ALL_VALID:
-        sel = np.arange(g.start, g.stop)[:cap]
-    elif mode == opt.OUTPUT_ALL_BEST:
-        sel = np.arange(g.start, g.start + n_best)[:cap]
-    elif mode == opt.OUTPUT_UNIQUE_BEST:
-        if n_best != 1:
-            return -1, np.zeros(0, np.int64)
-        sel = np.asarray([g.start])
-    else:  # random best
-        rng = np.random.default_rng(seed + b)
-        sel = np.asarray([g.start + int(rng.integers(0, n_best))])
-    return int(sel[0]), sel[1:]
+def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
+                          paired, lens1, lens2, opts):
+    """Vectorized phase-A emission: all per-pair math is batched; the
+    per-record loop only assembles the pre-computed columns. Pairs that
+    need XA alternates or MD tags take a per-record slow path."""
+    mode = opts.output_mode
+    s = combos.start
+    tnm = combos.total_nm
+    rid = combos.pair_id
+    B = len(s) - 1
+    first = s[paired]
+    best = tnm[first]
+    best_of = np.zeros(B, np.int32)
+    best_of[paired] = best
+    is_best = tnm == best_of[rid]
+    n_best = np.bincount(rid[is_best], minlength=B)[paired].astype(np.int64)
+    n_total = (s[1:] - s[:-1])[paired]
 
-
-def _emit_bwt_pair(index, writer, b1, b2, t1, t2, st1, st2, combos, g, b,
-                   lens1, lens2, opts):
-    prim, alts = _select_combo(combos, g, opts.output_mode,
-                               opts.max_output_per_pair, opts.random_seed, b)
-    if prim < 0:
-        _emit_unmapped_pair(writer, b1, b2, b)
-        return
-    tnm = combos.total_nm[g]
-    best = int(tnm[0])
-    n_best = int((tnm == best).sum())
-    n_total = g.stop - g.start
-    sec_best = int(tnm[n_best]) if n_best < n_total else 0
-    l1, l2 = int(lens1[b]), int(lens2[b])
-    if opts.bwa_like_score:
-        op_score = (l1 + l2 - best) * opts.match_score + best * opts.mismatch_score
-        sub_score = ((l1 + l2 - sec_best) * opts.match_score
-                     + sec_best * opts.mismatch_score)
-        mq1, mq2 = mapq.bwa_like_pair(
-            st1.x0[b], st1.x1[b], st2.x0[b], st2.x1[b],
-            op_score, n_best, sub_score, max(n_total - n_best, 0), l1, l2)
-        mq1, mq2 = int(mq1), int(mq2)
+    if mode == opt.OUTPUT_RANDOM_BEST:
+        rng = np.random.default_rng(opts.random_seed)
+        pick = rng.integers(0, 1 << 30, size=B)[paired] % n_best
+        prim = first + pick
     else:
-        mq1 = mq2 = min(int(mapq.table_single(
-            max(t1.nmis[combos.row1[prim]], 0), 20, st1.x0[b], st1.x1[b],
-            opts.max_mapq, opts.min_mapq)), opts.max_mapq)
+        prim = first
+    ok = np.ones(len(paired), bool)
+    if mode == opt.OUTPUT_UNIQUE_BEST:
+        ok = n_best == 1
 
-    r1, r2 = int(combos.row1[prim]), int(combos.row2[prim])
-    e1 = _gapless_end(index, b1, t1, r1, b, mq1, st1, opts)
-    e2 = _gapless_end(index, b2, t2, r2, b, mq2, st2, opts)
-    # XA alternates per end
-    if alts.size:
-        _append_pair_xa(index, e1, t1, combos.row1[alts], lens1[b], opts)
-        _append_pair_xa(index, e2, t2, combos.row2[alts], lens2[b], opts)
-    emit_pair(writer, b1, b2, b, e1, e2, proper=True)
+    has_sub = n_best < n_total
+    sec = np.where(has_sub, tnm[np.minimum(first + n_best, len(tnm) - 1)], 0)
+    l1 = lens1[paired].astype(np.int64)
+    l2 = lens2[paired].astype(np.int64)
+    if opts.bwa_like_score:
+        opsc = (l1 + l2 - best) * opts.match_score + best * opts.mismatch_score
+        subsc = (l1 + l2 - sec) * opts.match_score + sec * opts.mismatch_score
+        mq1, mq2 = mapq.bwa_like_pair(
+            st1.x0[paired], st1.x1[paired], st2.x0[paired], st2.x1[paired],
+            opsc, n_best, subsc, np.maximum(n_total - n_best, 0), l1, l2)
+    else:
+        mq1 = mapq.table_single(
+            np.maximum(t1.nmis[combos.row1[prim]], 0), 20,
+            st1.x0[paired], st1.x1[paired], opts.max_mapq, opts.min_mapq)
+        mq2 = mq1
+
+    r1 = combos.row1[prim]
+    r2 = combos.row2[prim]
+    a1 = t1.pos[r1].astype(np.int64)
+    a2 = t2.pos[r2].astype(np.int64)
+    c1, o1 = sam.translate_pos(index, a1)
+    c2, o2 = sam.translate_pos(index, a2)
+    s1 = t1.strand[r1]
+    s2 = t2.strand[r2]
+    lo_ = np.minimum(a1, a2)
+    hi_ = np.maximum(a1 + l1, a2 + l2)
+    tl = hi_ - lo_
+    tlen1 = np.where(a1 <= a2, tl, -tl)
+    base = sam.FLAG_PAIRED | sam.FLAG_PROPER
+    f1 = (base | sam.FLAG_FIRST | np.where(s1 == 1, sam.FLAG_REVERSE, 0)
+          | np.where(s2 == 1, sam.FLAG_MATE_REVERSE, 0))
+    f2 = (base | sam.FLAG_SECOND | np.where(s2 == 1, sam.FLAG_REVERSE, 0)
+          | np.where(s1 == 1, sam.FLAG_MATE_REVERSE, 0))
+
+    # how many hits the mode reports per pair (alternates -> slow path)
+    if mode == opt.OUTPUT_ALL_VALID:
+        n_sel = np.minimum(n_total, opts.max_output_per_pair)
+    elif mode == opt.OUTPUT_ALL_BEST:
+        n_sel = np.minimum(n_best, opts.max_output_per_pair)
+    else:
+        n_sel = np.ones(len(paired), np.int64)
+    slow = (n_sel > 1) | opts.output_md
+
+    cols = list(zip(
+        paired.tolist(), ok.tolist(), prim.tolist(),
+        c1.tolist(), o1.tolist(), s1.tolist(), int_list(mq1),
+        c2.tolist(), o2.tolist(), s2.tolist(), int_list(mq2),
+        tlen1.tolist(), f1.tolist(), f2.tolist(),
+        t1.nmis[r1].tolist(), t2.nmis[r2].tolist(),
+        n_sel.tolist(), slow.tolist(),
+        st1.x0[paired].tolist(), st1.x1[paired].tolist(),
+        st2.x0[paired].tolist(), st2.x1[paired].tolist()))
+    for (b, okb, pr, ch1, of1, st1b, m1, ch2, of2, st2b, m2, tlb, fl1, fl2,
+         nm1, nm2, nsel, sl, x01, x11, x02, x12) in cols:
+        if not okb:
+            _emit_unmapped_pair(writer, b1, b2, b)
+            continue
+        rl1, rl2 = int(lens1[b]), int(lens2[b])
+        tags1 = [f"X0:i:{x01}", f"X1:i:{x11}", f"XM:i:{nm1}", "XO:i:0",
+                 "XG:i:0"]
+        tags2 = [f"X0:i:{x02}", f"X1:i:{x12}", f"XM:i:{nm2}", "XO:i:0",
+                 "XG:i:0"]
+        if sl:
+            _slow_pair_tags(index, b1, b2, b, t1, t2, combos, pr, first,
+                            paired, nsel, tags1, tags2, rl1, rl2, opts)
+        writer.write(SamRecord(
+            qname=b1.names[b], flag=fl1, chrom=ch1, pos=of1, mapq=m1,
+            cigar=f"{rl1}M", seq=_seq_bytes(b1, b), qual=_qual_bytes(b1, b),
+            mate_chrom=ch2, mate_pos=of2, tlen=tlb, tags=tags1))
+        writer.write(SamRecord(
+            qname=b2.names[b], flag=fl2, chrom=ch2, pos=of2, mapq=m2,
+            cigar=f"{rl2}M", seq=_seq_bytes(b2, b), qual=_qual_bytes(b2, b),
+            mate_chrom=ch1, mate_pos=of1, tlen=-tlb, tags=tags2))
+
+
+def int_list(x) -> list:
+    return np.asarray(x).tolist()
+
+
+def _slow_pair_tags(index, b1, b2, b, t1, t2, combos, prim, first, paired,
+                    n_sel, tags1, tags2, rl1, rl2, opts):
+    """Per-record extras: MD/NM and XA alternate lists."""
+    from soap3dp_tpu.utils import dna
+
+    g0 = int(combos.start[b])
+    if opts.output_md:
+        for (batch, table, row, rl, tags) in ((b1, t1, combos.row1[prim], rl1, tags1),
+                                              (b2, t2, combos.row2[prim], rl2, tags2)):
+            codes = batch.codes[b, :rl]
+            if table.strand[row]:
+                codes = dna.revcomp_codes(codes)
+            md, nm = sam.mismatch_md(index, int(table.pos[row]), codes)
+            tags.insert(0, f"NM:i:{nm}")
+            tags.append(f"MD:Z:{md}")
+    if n_sel > 1:
+        alts = [r for r in range(g0, g0 + int(n_sel)) if r != prim]
+        e1 = EndInfo(0, 0, 0, "", 0, 0, tags1)
+        e2 = EndInfo(0, 0, 0, "", 0, 0, tags2)
+        _append_pair_xa(index, e1, t1, combos.row1[alts], rl1, opts)
+        _append_pair_xa(index, e2, t2, combos.row2[alts], rl2, opts)
 
 
 def _gapless_end(index, batch, table, row, b, mq, st, opts) -> EndInfo:

@@ -82,14 +82,13 @@ def align_single_batch(
                                opts.max_mapq, opts.min_mapq)
 
     emitted = np.zeros(B, bool)
-    for b in np.flatnonzero(primary >= 0):
-        p = int(primary[b])
-        rec = _gapless_record(index, batch, table, selected, b, p,
-                              int(mq[b]), stats, opts)
-        writer.write(rec)
-        emitted[b] = True
-        summary.aligned_bwt += 1
-        summary.num_records += 1
+    with_prim = np.flatnonzero(primary >= 0)
+    if with_prim.size:
+        _emit_gapless_batch(index, writer, batch, table, selected, stats,
+                            with_prim, primary[with_prim], mq, opts)
+        emitted[with_prim] = True
+        summary.aligned_bwt += len(with_prim)
+        summary.num_records += len(with_prim)
 
     # DP salvage for reads with no BWT hit at all
     no_hit = stats.best_nmis < 0
@@ -112,37 +111,49 @@ def align_single_batch(
     return summary
 
 
-def _gapless_record(index, batch, table, selected, b, p, mq, stats, opts
-                    ) -> SamRecord:
-    rlen = int(batch.lens[b])
-    strand = int(table.strand[p])
-    chrom, off = sam.translate_pos(index, np.asarray([table.pos[p]]))
-    tags = [f"X0:i:{stats.x0[b]}", f"X1:i:{stats.x1[b]}",
-            f"XM:i:{table.nmis[p]}", "XO:i:0", "XG:i:0"]
-    if opts.output_md:
-        codes = batch.codes[b, :rlen]
-        if strand:
-            codes = dna.revcomp_codes(codes)
-        md, nm = sam.mismatch_md(index, int(table.pos[p]), codes)
-        tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
-    # XA alternates: other selected hits of this read
-    g = table.group(b)
-    alts = [i for i in range(g.start, g.stop)
-            if selected[i] and i != p]
-    if alts:
-        entries = []
-        for i in alts[: opts.max_output_per_read]:
-            c2, o2 = sam.translate_pos(index, np.asarray([table.pos[i]]))
-            entries.append(sam.xa_entry(
-                writer_name(index, int(c2[0])), int(table.strand[i]),
-                int(o2[0]), f"{rlen}M", int(table.nmis[i])))
-        tags.append("XA:Z:" + "".join(entries))
-    return SamRecord(
-        qname=batch.names[b],
-        flag=sam.FLAG_REVERSE if strand else 0,
-        chrom=int(chrom[0]), pos=int(off[0]), mapq=mq,
-        cigar=f"{rlen}M", seq=_seq_bytes(batch, b),
-        qual=_qual_bytes(batch, b), tags=tags)
+def _emit_gapless_batch(index, writer, batch, table, selected, stats,
+                        reads_sel, prim_rows, mq, opts):
+    """Vectorized single-end emission: batch the coordinate translation
+    and stats; per-record loop only assembles columns. MD and XA take a
+    per-record slow path."""
+    chrom, off = sam.translate_pos(index, table.pos[prim_rows])
+    strands = table.strand[prim_rows]
+    n_sel_per_read = np.bincount(
+        table.read_id[selected], minlength=len(stats.x0)) if selected.any() \
+        else np.zeros(len(stats.x0), np.int64)
+    cols = zip(reads_sel.tolist(), prim_rows.tolist(), chrom.tolist(),
+               off.tolist(), strands.tolist(),
+               mq[reads_sel].tolist(), table.nmis[prim_rows].tolist(),
+               stats.x0[reads_sel].tolist(), stats.x1[reads_sel].tolist(),
+               n_sel_per_read[reads_sel].tolist())
+    for b, p, ch, of, strand, m, nmis, x0, x1, nsel in cols:
+        rlen = int(batch.lens[b])
+        tags = [f"X0:i:{x0}", f"X1:i:{x1}", f"XM:i:{nmis}", "XO:i:0",
+                "XG:i:0"]
+        if opts.output_md:
+            codes = batch.codes[b, :rlen]
+            if strand:
+                codes = dna.revcomp_codes(codes)
+            md, nm = sam.mismatch_md(index, int(table.pos[p]), codes)
+            tags = [f"NM:i:{nm}"] + tags + [f"MD:Z:{md}"]
+        if nsel > 1:
+            g = table.group(b)
+            alts = [i for i in range(g.start, g.stop)
+                    if selected[i] and i != p]
+            entries = []
+            for i in alts[: opts.max_output_per_read]:
+                c2, o2 = sam.translate_pos(index, np.asarray([table.pos[i]]))
+                entries.append(sam.xa_entry(
+                    writer_name(index, int(c2[0])), int(table.strand[i]),
+                    int(o2[0]), f"{rlen}M", int(table.nmis[i])))
+            if entries:
+                tags.append("XA:Z:" + "".join(entries))
+        writer.write(SamRecord(
+            qname=batch.names[b],
+            flag=sam.FLAG_REVERSE if strand else 0,
+            chrom=ch, pos=of, mapq=m,
+            cigar=f"{rlen}M", seq=_seq_bytes(batch, b),
+            qual=_qual_bytes(batch, b), tags=tags))
 
 
 def writer_name(index: Index, chrom: int) -> bytes:
