@@ -179,10 +179,32 @@ def search_reads(
     flagged = np.asarray(hits.flagged)
     if not flagged.any():
         return hits
-    # round 2: bigger budget for the flagged reads only
+    # round 2: bigger budget for the flagged reads only. The subset is
+    # padded to a power-of-two bucket so repeated batches reuse the
+    # compiled executable (shape churn = one remote XLA compile each).
+    from soap3dp_tpu.utils import shapes
+
     sel = np.flatnonzero(flagged)
-    hits2 = _search_batch(idx, reads[sel], lens[sel], cfg, cfg.occ_cap_round2, steps)
+    nb = min(shapes.bucket(len(sel), min_size=64), B)
+    reads_h = np.asarray(reads)
+    lens_h = np.asarray(lens)
+    sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
+        if len(sel) < nb else sel[:nb]
+    hits2 = _search_batch(idx, jnp.asarray(reads_h[sel_pad]),
+                          jnp.asarray(lens_h[sel_pad]),
+                          cfg, cfg.occ_cap_round2, steps)
+    hits2 = _slice_hits(hits2, len(sel), nb)
     return _merge_round2(hits, hits2, sel, B, cfg)
+
+
+def _slice_hits(h: HitArrays, n: int, padded: int) -> HitArrays:
+    """Drop pad rows: keep forward rows [0:n] and rc rows [padded:padded+n]."""
+    if n == padded:
+        return h
+    rows = np.concatenate([np.arange(n), padded + np.arange(n)])
+    return HitArrays(tp=np.asarray(h.tp)[rows], nmis=np.asarray(h.nmis)[rows],
+                     valid=np.asarray(h.valid)[rows],
+                     flagged=np.asarray(h.flagged)[:n])
 
 
 def _max_seed_steps(idx: DeviceIndex, max_len: int, num_seeds: int) -> int:

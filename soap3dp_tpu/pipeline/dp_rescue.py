@@ -47,43 +47,51 @@ def dp_margin(rlen: np.ndarray) -> np.ndarray:
     return np.where(rlen > 100, rlen >> 2, 25)
 
 
-def single_dp_seeds(rlen: int) -> tuple[int, list[int]]:
-    """(seed_length, seed_positions) for single-end DP seeding
-    (getSeedPositions STAGE_SINGLE_DP, definitions.h:323-377)."""
-    if rlen > 300:
-        slen, trim, h = 70, int(rlen * 0.15), int(rlen * 0.15)
-    elif rlen > 80:
-        slen, trim, h = 38, 10, 0
-    elif rlen > 60:
-        slen, trim, h = 32, 4, 0
-    elif rlen > 40:
-        slen, trim, h = 26, 4, 0
-    else:
-        slen, trim, h = 22, 0, 0
-    num = 3 + (rlen // 100 if rlen > 120 else 0)
-    apart = (rlen - trim - h) // num
-    pos = [h + i * apart for i in range(num)]
-    pos[-1] = min(pos[-1], rlen - slen - trim)
-    return slen, [max(p, 0) for p in pos]
+def single_dp_seed_matrix(lens: np.ndarray, max_len: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-read seed (positions (B,S), lengths (B,)) for single-end DP
+    seeding (getSeedPositions STAGE_SINGLE_DP, definitions.h:323-377).
+    S is static given max_len; unused seed slots repeat the last seed
+    (candidate dedupe collapses them)."""
+    lens = np.asarray(lens, np.int64)
+    slen = np.select([lens > 300, lens > 80, lens > 60, lens > 40],
+                     [70, 38, 32, 26], 22).astype(np.int64)
+    trim = np.select([lens > 300, lens > 80, lens > 60, lens > 40],
+                     [(lens * 0.15).astype(np.int64), 10, 4, 4], 0)
+    h = np.where(lens > 300, (lens * 0.15).astype(np.int64), 0)
+    num = np.where(lens > 120, 3 + lens // 100, 3)
+    S = int(3 + (max_len // 100 if max_len > 120 else 0))
+    i = np.arange(S, dtype=np.int64)[None, :]
+    apart = (lens - trim - h) // np.maximum(num, 1)
+    pos = h[:, None] + i * apart[:, None]
+    # the reference clamps the last seed into the trimmed tail; extra
+    # static slots repeat it
+    last = np.minimum(h + (num - 1) * apart, lens - slen - trim)
+    pos = np.where(i < (num - 1)[:, None], pos, last[:, None])
+    pos = np.clip(pos, 0, np.maximum(lens - slen, 0)[:, None])
+    return pos.astype(np.int32), slen.astype(np.int32)
 
 
-def deep_dp_seeds(rlen: int, round2: bool = False) -> tuple[int, list[int]]:
-    """(seed_length, seed_positions) for deep-DP seeding
+def deep_dp_seed_matrix(lens: np.ndarray, max_len: int, round2: bool = False
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-read seed matrix for deep-DP seeding
     (getSeedPositions STAGE_DEEP_DP_ROUND1/2, definitions.h:378-441)."""
-    if rlen > 150:
-        slen = 52 if round2 else 45
-    elif rlen > 80:
-        slen = 30 if round2 else 26
-    elif rlen > 60:
-        slen = 28 if round2 else 24
-    elif rlen > 40:
-        slen = 26 if round2 else 22
-    else:
-        slen = 24 if round2 else 20
-    num = max(2, rlen // slen)
-    apart = max((rlen - slen) // max(num - 1, 1), 1)
-    pos = [min(i * apart, max(rlen - slen, 0)) for i in range(num)]
-    return slen, sorted(set(pos))
+    lens = np.asarray(lens, np.int64)
+    table = [52, 30, 28, 26, 24] if round2 else [45, 26, 24, 22, 20]
+    slen = np.select([lens > 150, lens > 80, lens > 60, lens > 40],
+                     table[:4], table[4]).astype(np.int64)
+    num = np.maximum(2, lens // np.maximum(slen, 1))
+    # static S: max seeds any read length up to max_len can request
+    r = np.arange(1, max(max_len, 2) + 1, dtype=np.int64)
+    sl_r = np.select([r > 150, r > 80, r > 60, r > 40], table[:4], table[4])
+    S = int(np.maximum(2, r // sl_r).max())
+    i = np.arange(S, dtype=np.int64)[None, :]
+    apart = np.maximum((lens - slen) // np.maximum(num - 1, 1), 1)
+    pos = np.minimum(i * apart[:, None],
+                     np.maximum(lens - slen, 0)[:, None])
+    last = np.minimum((num - 1) * apart, np.maximum(lens - slen, 0))
+    pos = np.where(i < num[:, None], pos, last[:, None])
+    return pos.astype(np.int32), slen.astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -99,8 +107,8 @@ def seed_candidates(
     idx: DeviceIndex,
     reads: np.ndarray,     # (B, L) uint8 forward codes (subset to rescue)
     lens: np.ndarray,      # (B,) int32
-    seed_len: int,
-    seed_pos: list[int],
+    seed_pos: np.ndarray,  # (B, S) int32 per-read seed offsets
+    seed_len: np.ndarray,  # (B,) int32 per-read seed length
     occ_cap: int = 64,
     merge_gap: int = MERGE_GAP,
 ) -> Candidates:
@@ -109,22 +117,36 @@ def seed_candidates(
     if B == 0:
         return Candidates(np.zeros(0, np.int32), np.zeros(0, np.int8),
                           np.zeros(0, np.int64))
-    S = len(seed_pos)
+    # static-shape bucketing: pad the subset so repeated rescues reuse
+    # the compiled search (see utils/shapes.py)
+    from soap3dp_tpu.utils import shapes
+
+    B_real = B
+    B = shapes.bucket(B, min_size=64)
+    reads = shapes.pad_rows(np.asarray(reads), B)
+    lens = shapes.pad_rows(np.asarray(lens), B)
+    seed_pos = shapes.pad_rows(np.asarray(seed_pos, np.int32), B)
+    seed_len = shapes.pad_rows(np.asarray(seed_len, np.int32), B)
+    S = seed_pos.shape[1]
     oriented = jnp.concatenate(
         [jnp.asarray(reads),
          fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))],
         axis=0)
     R = 2 * B
     # seeds laid out (R*S,): clamp seed windows into [0, len - seed_len]
-    sp = np.asarray(seed_pos, np.int32)[None, :].repeat(R, 0)
+    sp = np.concatenate([seed_pos, seed_pos], axis=0)
+    sl2 = np.concatenate([seed_len, seed_len]).astype(np.int32)
     ln2 = np.concatenate([lens, lens]).astype(np.int32)
-    sp = np.minimum(sp, np.maximum(ln2[:, None] - seed_len, 0))
-    slen_arr = np.broadcast_to(np.minimum(seed_len, ln2)[:, None], sp.shape)
+    sp = np.minimum(sp, np.maximum(ln2 - sl2, 0)[:, None])
+    slen_arr = np.broadcast_to(np.minimum(sl2, ln2)[:, None], sp.shape)
     rows = np.repeat(np.arange(R, dtype=np.int32), S)
+    # the seed-length table has a handful of staged values, so this
+    # static bound yields a bounded jit-cache set
+    msl = int(seed_len.max()) if seed_len.size else 0
     l, r = fmindex.backward_search(
         idx, oriented[rows], jnp.asarray(np.ascontiguousarray(sp.reshape(-1))),
         jnp.asarray(np.ascontiguousarray(slen_arr.reshape(-1))),
-        max_steps=max(seed_len - idx.lut_k, min(idx.lut_k, seed_len)))
+        max_steps=max(msl - idx.lut_k, min(idx.lut_k, msl)))
     width = np.asarray(r).astype(np.int64) - np.asarray(l).astype(np.int64)
     slot = np.arange(occ_cap, dtype=np.uint32)[None, :]
     rows_dec = (np.asarray(l)[:, None] + slot).astype(np.uint32)
@@ -139,6 +161,8 @@ def seed_candidates(
     posf = cand_pos[okf]
     strand = (rowf >= B).astype(np.int8)
     read = (rowf - strand.astype(np.int32) * B).astype(np.int32)
+    keep_real = read < B_real  # drop bucket-padding rows
+    read, strand, posf = read[keep_real], strand[keep_real], posf[keep_real]
     # merge: sort by (read, strand, pos); drop candidates within merge_gap
     order = np.lexsort((posf, strand, read))
     read, strand, posf = read[order], strand[order], posf[order]
@@ -179,7 +203,34 @@ def run_banded_dp(
     sc: DPScores,
     index_host: Index | None = None,
 ) -> DPResult:
-    """One batched DP over candidate windows; returns survivors only."""
+    """One batched DP over candidate windows; returns survivors only.
+
+    Problem count and window width are bucketed to static shapes (pad
+    lanes get an unreachable cutoff, so they never survive)."""
+    from soap3dp_tpu.utils import shapes
+
+    M_real = cand.read.shape[0]
+    if M_real:
+        # subset reads too: every jnp op shape must come from the bucket set
+        Bp = shapes.bucket(reads.shape[0], min_size=64)
+        reads = shapes.pad_rows(np.asarray(reads), Bp)
+        lens = shapes.pad_rows(np.asarray(lens), Bp)
+        M_pad = shapes.bucket(M_real, min_size=128)
+        max_win = shapes.bucket_multiple(max_win, 128)
+        cand = Candidates(
+            read=shapes.pad_rows(cand.read, M_pad, fill_from_first=False),
+            strand=shapes.pad_rows(cand.strand, M_pad, fill_from_first=False),
+            pos=shapes.pad_rows(cand.pos, M_pad, fill_from_first=False))
+        win_start = shapes.pad_rows(np.asarray(win_start), M_pad,
+                                    fill_from_first=False)
+        win_len = shapes.pad_rows(np.asarray(win_len), M_pad,
+                                  fill_from_first=False)
+        clip_l = shapes.pad_rows(np.asarray(clip_l), M_pad, False)
+        clip_r = shapes.pad_rows(np.asarray(clip_r), M_pad, False)
+        anchor_l = shapes.pad_rows(np.asarray(anchor_l), M_pad, False)
+        anchor_r = shapes.pad_rows(np.asarray(anchor_r), M_pad, False)
+        big = np.full(M_pad - M_real, 1 << 20, np.int64)
+        cutoff = np.concatenate([np.asarray(cutoff, np.int64), big])
     M = cand.read.shape[0]
     if M == 0:
         z = np.zeros(0, np.int64)

@@ -571,10 +571,11 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     sub2 = b2.codes[deep]
     sl1 = lens1[deep]
     sl2 = lens2[deep]
-    max_len = int(max(sl1.max(), sl2.max()))
-    slen, spos = dp_rescue.deep_dp_seeds(max_len)
-    c1 = dp_rescue.seed_candidates(didx, sub1, sl1, slen, spos)
-    c2 = dp_rescue.seed_candidates(didx, sub2, sl2, slen, spos)
+    max_len = int(max(b1.codes.shape[1], b2.codes.shape[1]))  # static
+    sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len)
+    sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len)
+    c1 = dp_rescue.seed_candidates(didx, sub1, sl1, sp1, sl1s)
+    c2 = dp_rescue.seed_candidates(didx, sub2, sl2, sp2, sl2s)
     if c1.read.size == 0 or c2.read.size == 0:
         return np.zeros(0, int)
     # pair candidate loci: for each read, loci of end1 x end2 with
@@ -705,9 +706,9 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
 def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInfo]:
     reads = batch.codes[subset]
     sl = lens[subset]
-    max_len = int(sl.max())
-    seed_len, seed_pos = dp_rescue.single_dp_seeds(max_len)
-    cand = dp_rescue.seed_candidates(didx, reads, sl, seed_len, seed_pos)
+    max_len = int(batch.codes.shape[1])  # static
+    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(sl, max_len)
+    cand = dp_rescue.seed_candidates(didx, reads, sl, seed_pos, seed_len)
     if cand.read.size == 0:
         return {}
     margin = dp_rescue.dp_margin(sl[cand.read])

@@ -164,9 +164,11 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
     """DP-rescue the given read subset; returns read ids that aligned."""
     reads = batch.codes[rescue]
     lens = batch.lens[rescue].astype(np.int32)
-    max_len = int(lens.max())
-    seed_len, seed_pos = dp_rescue.single_dp_seeds(max_len)
-    cand = dp_rescue.seed_candidates(didx, reads, lens, seed_len, seed_pos)
+    # static per run: seed geometry and window buckets derive from the
+    # batch width, not the data, to avoid per-batch recompiles
+    max_len = int(batch.codes.shape[1])
+    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(lens, max_len)
+    cand = dp_rescue.seed_candidates(didx, reads, lens, seed_pos, seed_len)
     if cand.read.size == 0:
         return np.zeros(0, int)
     margin = dp_rescue.dp_margin(lens[cand.read])
