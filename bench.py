@@ -39,7 +39,7 @@ def get_index():
     from soap3dp_tpu.index.packing import PackedGenome
     from soap3dp_tpu.utils import dna
 
-    path = os.path.join(CACHE, f"synth{GENOME_BP}.t3i")
+    path = os.path.join(CACHE, f"synth{GENOME_BP}.sa1.t3i")
     codes_path = os.path.join(CACHE, f"synth{GENOME_BP}.codes.npy")
     if os.path.exists(os.path.join(path, "meta.json")):
         return load_index(path), np.load(codes_path, mmap_mode="r")
@@ -53,7 +53,7 @@ def get_index():
         codes=codes, pac=dna.pack_codes(codes), length=GENOME_BP,
         names=["synth1"], offsets=np.asarray([0, GENOME_BP], np.uint64),
         amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    index = build_index(genome, sa_rate=8, lut_k=13)
+    index = build_index(genome, sa_rate=1, lut_k=13)
     save_index(index, path)
     np.save(codes_path, codes)
     print(f"[bench] index built in {time.time() - t0:.0f}s", file=sys.stderr)
@@ -92,6 +92,8 @@ class NullWriter:
 
 
 def main() -> int:
+    from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
 
     from soap3dp_tpu.fm.fmindex import device_index
@@ -110,8 +112,9 @@ def main() -> int:
     opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2)
     out = SuccinctWriter(os.path.join(CACHE, "bench.gout"), index)
 
-    # warmup (jit compile) on a small slice
-    wb1, wb2 = make_pairs(codes, 2048, rng)
+    # warmup (jit compile) with the EXACT timed batch shape, so the
+    # timed region never sees a fresh XLA compile
+    wb1, wb2 = make_pairs(codes, BATCH, rng)
     t0 = time.time()
     align_pair_batch(index, didx, wb1, wb2, opts, out)
     print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)

@@ -57,18 +57,20 @@ def shard_batch(mesh: Mesh, reads: np.ndarray, lens: np.ndarray,
 def sharded_search(didx: DeviceIndex, reads, lens, cfg: SearchConfig,
                    max_steps: int):
     """Data-parallel seed search: XLA partitions the jitted search over
-    the batch axis; the index arrays are replicated, so no collectives
-    are needed in the hot loop."""
-    return _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
+    the batch axis; the index arrays are replicated, so the only
+    cross-chip traffic is the candidate compaction's reduction."""
+    hits, _ = _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
+    return hits
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def _align_step_impl(didx, reads, lens, cfg, max_steps):
-    hits = _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
-    aligned = hits.valid.any(axis=1)
+    hits, _ = _search_batch(didx, reads, lens, cfg, cfg.occ_cap, max_steps)
     B = reads.shape[0]
-    n_aligned = (aligned[:B] | aligned[B:]).sum()
-    return hits, n_aligned
+    read_of = jnp.where(hits.row >= B, hits.row - B, hits.row)
+    read_of = jnp.clip(read_of, 0, B - 1)
+    aligned = jnp.zeros((B,), bool).at[read_of].max(hits.valid)
+    return hits, aligned.sum()
 
 
 def alignment_step(mesh: Mesh, didx: DeviceIndex, reads, lens,

@@ -190,7 +190,16 @@ def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
     ``sa_rate`` masked iterations: SA values decrease by 1 per LF step,
     so a row whose value is a multiple of sa_rate is reached within
     sa_rate-1 steps and found via the mark bitvector.
+
+    Full-SA fast path: with sa_rate == 1 every row is marked and
+    ``sa_samples`` is the whole suffix array in row order, so the
+    decode collapses to ONE u32 gather per row — the TPU-friendly
+    configuration (the reference's SaValueFreq=1 "full SA" build,
+    README.md section 2.1, pays the same memory for the same win).
     """
+    if idx.sa_rate == 1:
+        safe = jnp.where(valid, rows, U32(0)).astype(jnp.int32)
+        return jnp.where(valid, idx.sa_samples[safe], U32(0))
     rows = jnp.where(valid, rows, U32(0))
     done = ~valid
     result = jnp.zeros_like(rows)

@@ -11,19 +11,25 @@ This module produces the *same result set* with a uniform pipeline:
 
 1. pigeonhole seeds: split each read into k+1 segments — any placement
    with <=k mismatches matches at least one segment exactly;
-2. batched exact backward search of every (read, strand, segment),
-   LUT-jumpstarted — static shapes, no divergence;
-3. bounded SA decode of every surviving interval (cap per seed);
-4. packed XOR/popcount verification of each candidate placement
+2. batched exact backward search of a PREFIX of every (read, strand,
+   segment), LUT-jumpstarted. The queried prefix length is scaled to
+   the genome (~log4(n) + slack): any exact full segment is also an
+   exact prefix, so the candidate set is a superset and verification
+   restores exactness — while the FM loop shrinks from ~L/(k+1) steps
+   to a handful past the LUT width;
+3. device-side compaction of the surviving SA slots (most seed lanes
+   have 0-1 occurrences; only real candidates are decoded/verified);
+4. one-gather SA decode (full SA) or a bounded LF walk (sampled SA);
+5. packed XOR/popcount verification of each candidate placement
    against the genome (the reference's check-and-extend idea,
    2bwt-flex/SRA2BWTCheckAndExtend.h:57-66, promoted from a fallback
    to the main verification path);
-5. per-read dedupe (a placement can be found by several seeds).
+6. per-(read,strand) dedupe via a lexicographic device sort.
 
-Reads with an over-budget seed interval are flagged and re-run by the
-host wrapper with a larger cap — the same two-round budget scheme as
-the reference (perform_round1/round2_alignment, alignment.cu:118-221;
-sentinels DV-Kernel.cu:4464-4486).
+Reads with an over-budget seed interval are flagged and re-run with
+FULL pigeonhole segments and a larger cap — the same two-round budget
+scheme as the reference (perform_round1/round2_alignment,
+alignment.cu:118-221; sentinels DV-Kernel.cu:4464-4486).
 """
 
 from __future__ import annotations
@@ -37,8 +43,10 @@ import numpy as np
 
 from soap3dp_tpu.fm import fmindex
 from soap3dp_tpu.fm.fmindex import DeviceIndex, U32
+from soap3dp_tpu.utils import shapes
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
+ROW_SENTINEL = jnp.int32(0x7FFFFFFF)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +56,7 @@ class SearchConfig:
     k: int = 2                # max mismatches (reference -s: 0..4)
     occ_cap: int = 16         # round-1 SA-interval budget per seed
     occ_cap_round2: int = 256  # round-2 budget (reference sa_range round2)
+    seed_slack: int = 2       # extra bases past log4(n) in the seed prefix
 
     @property
     def num_seeds(self) -> int:
@@ -57,31 +66,38 @@ class SearchConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HitArrays:
-    """Struct-of-arrays hit set for a batch, on device.
+    """Compacted struct-of-arrays hit set for a batch.
 
-    Layout: R = 2*B oriented rows (row b = read b forward, row B+b =
-    read b reverse-complement), each with H = num_seeds*cap hit slots.
+    Entries are (oriented row, text position, mismatch count): row
+    b = read b forward, row B + b = read b reverse-complement. Only
+    `valid` entries are meaningful; rows are sorted by (row, tp).
     """
 
-    tp: jax.Array      # (R, H) uint32 text position of the read start
-    nmis: jax.Array    # (R, H) int32 mismatch count
-    valid: jax.Array   # (R, H) bool
+    row: jax.Array     # (K,) int32 oriented row id
+    tp: jax.Array      # (K,) uint32 text position of the read start
+    nmis: jax.Array    # (K,) int32 mismatch count
+    valid: jax.Array   # (K,) bool
     flagged: jax.Array  # (B,) bool — needs a bigger-budget re-run
 
     def to_host(self):
-        return (np.asarray(self.tp), np.asarray(self.nmis),
-                np.asarray(self.valid), np.asarray(self.flagged))
+        return (np.asarray(self.row), np.asarray(self.tp),
+                np.asarray(self.nmis), np.asarray(self.valid),
+                np.asarray(self.flagged))
 
 
-def _seed_bounds(lens: jax.Array, num_seeds: int) -> tuple[jax.Array, jax.Array]:
-    """Evenly split [0, len) into num_seeds segments: (R, S) starts/lengths."""
+def _seed_bounds(lens: jax.Array, num_seeds: int, seed_q: int
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Pigeonhole segments of [0, len), truncated to seed_q: (R,S) starts/lens."""
     j = jnp.arange(num_seeds, dtype=jnp.int32)[None, :]
     start = j * lens[:, None] // num_seeds
     end = (j + 1) * lens[:, None] // num_seeds
-    return start, end - start
+    length = end - start
+    if seed_q > 0:
+        length = jnp.minimum(length, seed_q)
+    return start, length
 
 
-@partial(jax.jit, static_argnames=("cfg", "cap", "max_seed_steps"))
+@partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps", "K"))
 def _search_batch(
     idx: DeviceIndex,
     reads: jax.Array,   # (B, L) uint8 forward-strand codes
@@ -89,19 +105,22 @@ def _search_batch(
     cfg: SearchConfig,
     cap: int,
     max_seed_steps: int,
-) -> HitArrays:
+    seed_q: int = 0,    # 0 = full pigeonhole segments
+    K: int = 0,         # candidate-compaction budget (0 = R*S*cap, no compaction win)
+) -> tuple[HitArrays, jax.Array]:
     B, L = reads.shape
     S = cfg.num_seeds
-    W = (L + 15) // 16
     n = idx.n
 
     # oriented rows: forward then reverse-complement
     oriented = jnp.concatenate([reads, fmindex.revcomp_reads(reads, lens)], axis=0)
     olens = jnp.concatenate([lens, lens])
     R = 2 * B
+    if K <= 0:
+        K = R * S * cap
 
     # (R, S) seed segments -> flat (R*S,) search lanes
-    sstart, slen = _seed_bounds(olens, S)
+    sstart, slen = _seed_bounds(olens, S, seed_q)
     seq_rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
     l, r = fmindex.backward_search(
         idx,
@@ -115,46 +134,81 @@ def _search_batch(
     flagged = overflow.reshape(B * 2, S).any(axis=1)
     flagged = flagged[:B] | flagged[B:]
 
-    # enumerate up to cap rows per seed (skip overflowed seeds entirely;
-    # their reads re-run in round 2 with a larger cap)
+    # enumerate up to cap slots per seed (skip overflowed seeds entirely;
+    # their reads re-run in round 2 with full segments + a larger cap)
     slot = jnp.arange(cap, dtype=jnp.uint32)[None, :]
-    rows = l[:, None] + slot                                # (R*S, cap)
-    enum_ok = (slot < width[:, None]) & ~overflow[:, None]
+    enum_ok = (slot < width[:, None]) & ~overflow[:, None]   # (R*S, cap)
+    total = enum_ok.sum(dtype=jnp.int32)
 
-    sa_pos = fmindex.sa_decode(idx, rows.reshape(-1), enum_ok.reshape(-1))
-    sa_pos = sa_pos.reshape(R * S, cap)
+    # compact: only real candidate slots reach SA decode / verification
+    flat_idx = jnp.nonzero(enum_ok.reshape(-1), size=K, fill_value=-1)[0]
+    cvalid = flat_idx >= 0
+    flat_safe = jnp.where(cvalid, flat_idx, 0)
+    lane = (flat_safe // cap).astype(jnp.int32)              # (K,)
+    cslot = (flat_safe % cap).astype(jnp.uint32)
+    rows_sa = l[lane] + cslot
+
+    sa_pos = fmindex.sa_decode(idx, rows_sa, cvalid)
 
     # candidate read-start position; reject if the seed offset runs off
     # the front or the full read off the back of the genome
-    st = sstart.reshape(-1).astype(U32)[:, None]
+    st = sstart.reshape(-1).astype(U32)[lane]
     tp = sa_pos - st
-    ln = olens[seq_rows].astype(U32)[:, None]
-    pos_ok = enum_ok & (sa_pos >= st) & (tp + ln <= n)
+    orow = seq_rows[lane]                                    # oriented row id
+    ln = olens[orow].astype(U32)
+    pos_ok = cvalid & (sa_pos >= st) & (tp + ln <= n)
 
     # verify in the packed domain
-    read_words = fmindex.pack_reads(oriented)               # (R, W)
-    cand_row = jnp.repeat(seq_rows, cap)
+    read_words = fmindex.pack_reads(oriented)                # (R, W)
     nmis = fmindex.count_mismatches_packed(
         idx,
-        jnp.where(pos_ok, tp, U32(0)).reshape(-1),
-        read_words[cand_row],
-        olens[cand_row],
-    ).reshape(R * S, cap)
+        jnp.where(pos_ok, tp, U32(0)),
+        read_words[orow],
+        olens[orow],
+    )
     hit_ok = pos_ok & (nmis <= cfg.k)
 
-    # per-oriented-row dedupe across the S*cap slots (a placement can be
-    # found by several exact seeds): small per-row sort + neighbor mask
-    H = S * cap
-    tp_row = jnp.where(hit_ok, tp, SENTINEL).reshape(R, H)
-    nmis_row = nmis.reshape(R, H)
-    order = jnp.argsort(tp_row, axis=1)
-    tp_sorted = jnp.take_along_axis(tp_row, order, axis=1)
-    nmis_sorted = jnp.take_along_axis(nmis_row, order, axis=1)
+    # dedupe identical (row, tp) pairs (a placement can be found by
+    # several seeds): lexicographic device sort + neighbor mask
+    key_row = jnp.where(hit_ok, orow, ROW_SENTINEL)
+    key_tp = jnp.where(hit_ok, tp, SENTINEL)
+    s_row, s_tp, s_nmis = jax.lax.sort(
+        (key_row, key_tp, nmis), num_keys=2)
     first = jnp.concatenate(
-        [jnp.ones((R, 1), bool), tp_sorted[:, 1:] != tp_sorted[:, :-1]], axis=1)
-    valid = first & (tp_sorted != SENTINEL)
+        [jnp.ones((1,), bool),
+         (s_row[1:] != s_row[:-1]) | (s_tp[1:] != s_tp[:-1])])
+    valid = first & (s_row != ROW_SENTINEL)
 
-    return HitArrays(tp=tp_sorted, nmis=nmis_sorted, valid=valid, flagged=flagged)
+    return HitArrays(row=s_row, tp=s_tp, nmis=s_nmis, valid=valid,
+                     flagged=flagged), total
+
+
+def default_seed_q(idx: DeviceIndex, cfg: SearchConfig) -> int:
+    """Genome-size-scaled seed prefix length: enough specificity that the
+    expected random-hit count per seed stays ~O(1)."""
+    n = int(np.asarray(idx.n))
+    q = int(np.ceil(np.log2(max(n, 4)) / 2)) + cfg.seed_slack
+    return max(q, idx.lut_k)
+
+
+def _steps_for(idx: DeviceIndex, seed_q: int, min_seg: int) -> int:
+    """Static FM-step bound for seeds truncated to seed_q."""
+    if min_seg >= idx.lut_k:
+        return max(seed_q - idx.lut_k, 0)
+    return max(seed_q - idx.lut_k, min(idx.lut_k - 1, seed_q))
+
+
+def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
+    """Dispatch _search_batch, growing the compaction budget on overflow."""
+    K = shapes.bucket(2 * B * S * 2, min_size=1024)
+    K_max = 2 * B * S * cap
+    while True:
+        hits, total = _search_batch(idx, reads, lens, cfg, cap, steps,
+                                    seed_q, min(K, K_max))
+        t = int(total)
+        if t <= K or K >= K_max:
+            return hits
+        K = min(shapes.bucket(t), K_max)
 
 
 def search_reads(
@@ -165,76 +219,73 @@ def search_reads(
 ) -> HitArrays:
     """Two-round seed search over a read batch.
 
-    Round 1 runs every read with the small per-seed budget; reads with
-    an over-budget seed are re-run in round 2 with `occ_cap_round2`.
-    Reads still over budget in round 2 keep `flagged=True` — the
-    pipeline treats them like the reference's 0xFFFFFFFE "too many
-    hits" sentinel (DV-Kernel.cu:4464-4486).
+    Round 1 queries genome-scaled seed prefixes with a small per-seed
+    budget; reads with an over-budget seed are re-run in round 2 with
+    full pigeonhole segments and `occ_cap_round2`. Reads still over
+    budget in round 2 keep `flagged=True` — the pipeline treats them
+    like the reference's 0xFFFFFFFE "too many hits" sentinel
+    (DV-Kernel.cu:4464-4486).
     """
     reads = jnp.asarray(reads)
-    lens = jnp.asarray(lens, dtype=jnp.int32)
+    lens_h = np.asarray(lens).astype(np.int32)
+    lens = jnp.asarray(lens_h)
     B, L = reads.shape
-    steps = _max_seed_steps(idx, int(np.max(np.asarray(lens))) if B else 0, cfg.num_seeds)
-    hits = _search_batch(idx, reads, lens, cfg, cfg.occ_cap, steps)
+    S = cfg.num_seeds
+    if B == 0:
+        z = np.zeros(0, np.int32)
+        return HitArrays(row=z, tp=z.astype(np.uint32), nmis=z,
+                         valid=z.astype(bool), flagged=np.zeros(0, bool))
+    max_len = int(lens_h.max()) if B else 0
+    min_len = int(lens_h.min()) if B else 0
+    min_seg = min_len // S
+    longest_seg = -(-max_len // S)
+
+    seed_q = min(default_seed_q(idx, cfg), longest_seg)
+    steps = _steps_for(idx, seed_q, min(min_seg, seed_q))
+    hits = _run_compacted(idx, reads, lens, cfg, cfg.occ_cap, steps, seed_q, B, S)
     flagged = np.asarray(hits.flagged)
     if not flagged.any():
         return hits
-    # round 2: bigger budget for the flagged reads only. The subset is
-    # padded to a power-of-two bucket so repeated batches reuse the
-    # compiled executable (shape churn = one remote XLA compile each).
-    from soap3dp_tpu.utils import shapes
 
+    # round 2: full segments + bigger budget for the flagged reads only.
+    # The subset is padded to a power-of-two bucket so repeated batches
+    # reuse the compiled executable.
     sel = np.flatnonzero(flagged)
     nb = min(shapes.bucket(len(sel), min_size=64), B)
     reads_h = np.asarray(reads)
-    lens_h = np.asarray(lens)
     sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
         if len(sel) < nb else sel[:nb]
-    hits2 = _search_batch(idx, jnp.asarray(reads_h[sel_pad]),
-                          jnp.asarray(lens_h[sel_pad]),
-                          cfg, cfg.occ_cap_round2, steps)
-    hits2 = _slice_hits(hits2, len(sel), nb)
-    return _merge_round2(hits, hits2, sel, B, cfg)
-
-
-def _slice_hits(h: HitArrays, n: int, padded: int) -> HitArrays:
-    """Drop pad rows: keep forward rows [0:n] and rc rows [padded:padded+n]."""
-    if n == padded:
-        return h
-    rows = np.concatenate([np.arange(n), padded + np.arange(n)])
-    return HitArrays(tp=np.asarray(h.tp)[rows], nmis=np.asarray(h.nmis)[rows],
-                     valid=np.asarray(h.valid)[rows],
-                     flagged=np.asarray(h.flagged)[:n])
-
-
-def _max_seed_steps(idx: DeviceIndex, max_len: int, num_seeds: int) -> int:
-    """Static step bound: longest segment, minus the LUT jumpstart when
-    every segment is long enough to use it."""
-    longest = -(-max_len // num_seeds) if max_len else 0
-    shortest = max_len // num_seeds
-    if shortest >= idx.lut_k:
-        return max(longest - idx.lut_k, 0)
-    return longest
+    steps2 = _steps_for(idx, longest_seg, min(min_seg, longest_seg))
+    hits2 = _run_compacted(idx, jnp.asarray(reads_h[sel_pad]),
+                           jnp.asarray(lens_h[sel_pad]), cfg,
+                           cfg.occ_cap_round2, steps2, 0, nb, S)
+    return _merge_round2(hits, hits2, sel, B, nb)
 
 
 def _merge_round2(h1: HitArrays, h2: HitArrays, sel: np.ndarray, B: int,
-                  cfg: SearchConfig) -> HitArrays:
-    """Replace flagged reads' round-1 rows with their round-2 results.
+                  nb: int) -> HitArrays:
+    """Replace flagged reads' round-1 entries with their round-2 results
+    (host-side concat; downstream grouping re-sorts anyway)."""
+    row1, tp1, nm1, va1, _ = h1.to_host()
+    row2, tp2, nm2, va2, fl2 = h2.to_host()
+    n_sel = len(sel)
 
-    Round-2 rows have more hit slots (bigger cap); round-1 rows are
-    padded to match so the result stays one rectangular batch.
-    """
-    H2 = h2.tp.shape[1]
-    tp, nm, va = (np.asarray(h1.tp), np.asarray(h1.nmis), np.asarray(h1.valid))
-    pad = H2 - tp.shape[1]
-    tp = np.pad(tp, ((0, 0), (0, pad)), constant_values=0xFFFFFFFF)
-    nm = np.pad(nm, ((0, 0), (0, pad)))
-    va = np.pad(va, ((0, 0), (0, pad)))
-    rows = np.concatenate([sel, B + sel])  # fwd + rc rows of flagged reads
-    tp[rows] = np.asarray(h2.tp)
-    nm[rows] = np.asarray(h2.nmis)
-    va[rows] = np.asarray(h2.valid)
+    # keep round-1 entries of non-flagged reads
+    read1 = np.where(row1 >= B, row1 - B, row1)
+    keep1 = va1.copy()
+    keep1[va1] = ~np.isin(read1[va1], sel)
+
+    # round-2 entries: drop pad reads, remap subset rows -> global rows
+    read2 = np.where(row2 >= nb, row2 - nb, row2)
+    keep2 = va2 & (read2 < n_sel)
+    strand2 = (row2 >= nb).astype(np.int32)
+    g_row = np.where(keep2, sel[np.minimum(read2, n_sel - 1)]
+                     + strand2 * B, 0).astype(np.int32)
+
+    row = np.concatenate([row1[keep1], g_row[keep2]])
+    tp = np.concatenate([tp1[keep1], tp2[keep2]])
+    nm = np.concatenate([nm1[keep1], nm2[keep2]])
     flagged = np.zeros(B, bool)
-    flagged[sel] = np.asarray(h2.flagged)
-    return HitArrays(tp=jnp.asarray(tp), nmis=jnp.asarray(nm),
-                     valid=jnp.asarray(va), flagged=jnp.asarray(flagged))
+    flagged[sel] = fl2[:n_sel]
+    return HitArrays(row=row, tp=tp, nmis=nm,
+                     valid=np.ones(len(row), bool), flagged=flagged)

@@ -42,13 +42,11 @@ class HitTable:
 
 def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
                   lens: np.ndarray) -> HitTable:
-    tp, nm, va, flagged = hits.to_host()
+    rows, tp, nm, va, flagged = hits.to_host()
     B = num_reads
-    R, H = tp.shape
-    va = va.copy().ravel()
-    rows = np.repeat(np.arange(R, dtype=np.int32), H)[va]
-    pos = tp.ravel()[va]
-    nmis = nm.ravel()[va].astype(np.int32)
+    rows = rows[va]
+    pos = tp[va]
+    nmis = nm[va].astype(np.int32)
     strand = (rows >= B).astype(np.int8)
     read = (rows - strand.astype(np.int32) * B).astype(np.int32)
     ok = ~crosses_boundary(index, pos, lens[read])

@@ -28,21 +28,21 @@ def test_sharded_search_matches_single_device(mesh8, small_index,
 
     # single-device reference result
     ref = search_reads(small_device_index, reads, lens, cfg)
-    ref_tp, ref_nm, ref_va, _ = ref.to_host()
+    ref_row, ref_tp, ref_nm, ref_va, _ = ref.to_host()
 
     didx = dmesh.replicate_index(small_index, mesh8)
     sreads, slens, B0 = dmesh.shard_batch(mesh8, reads, lens)
     hits, n_aligned = dmesh.alignment_step(
         mesh8, didx, sreads, slens, cfg, max_steps=L // 2)
-    tp, nm, va, _ = hits.to_host()
+    row, tp, nm, va, _ = hits.to_host()
     assert n_aligned == B  # every read was sampled from the genome
     # same hit sets per read (rows: fwd 0..B-1 then rc)
-    for row in range(2 * B):
-        got = set(map(tuple, np.stack(
-            [tp[row][va[row]], nm[row][va[row]]], axis=1).tolist()))
-        want = set(map(tuple, np.stack(
-            [ref_tp[row][ref_va[row]], ref_nm[row][ref_va[row]]], axis=1).tolist()))
-        assert got == want, row
+    for r in range(2 * B):
+        m = va & (row == r)
+        got = set(zip(tp[m].tolist(), nm[m].tolist()))
+        mr = ref_va & (ref_row == r)
+        want = set(zip(ref_tp[mr].tolist(), ref_nm[mr].tolist()))
+        assert got == want, r
 
 
 def test_graft_entry_hooks():

@@ -31,11 +31,12 @@ def brute_hits(codes: np.ndarray, read: np.ndarray, k: int):
 
 def hits_to_dict(hits: HitArrays, b: int, B: int):
     """Device hit arrays -> {(strand, pos): nmis} for read b."""
-    tp, nm, va, _ = hits.to_host()
+    rows, tp, nm, va, _ = hits.to_host()
     out = {}
     for strand, row in ((0, b), (1, B + b)):
-        for h in np.flatnonzero(va[row]):
-            out[(strand, int(tp[row, h]))] = int(nm[row, h])
+        m = va & (rows == row)
+        for tpv, nmv in zip(tp[m], nm[m]):
+            out[(strand, int(tpv))] = int(nmv)
     return out
 
 
@@ -106,6 +107,23 @@ def test_variable_length_batch(small_device_index, small_genome, rng):
         expect = brute_hits(codes, reads[b, :lens[b]], 1)
         got = hits_to_dict(hits, b, 4)
         assert got == expect, b
+
+
+def test_full_sa_fast_path_matches_sampled(small_genome, rng):
+    """sa_rate=1 (one-gather SA decode) must agree with the sampled walk."""
+    from soap3dp_tpu.index.builder import build_index
+    from soap3dp_tpu.fm.fmindex import device_index
+
+    idx1 = build_index(small_genome, sa_rate=1)
+    d1 = device_index(idx1)
+    codes = small_genome.codes
+    B, L = 16, 40
+    reads = make_reads(rng, codes, B, L, 2)
+    cfg = SearchConfig(k=2, occ_cap=16)
+    h1 = search_reads(d1, reads, np.full(B, L), cfg)
+    for b in range(B):
+        expect = brute_hits(codes, reads[b], 2)
+        assert hits_to_dict(h1, b, B) == expect, b
 
 
 def _genome_from_codes(codes: np.ndarray):
