@@ -130,6 +130,8 @@ def main() -> int:
         total.add(align_pair_batch(index, didx, sb1, sb2, opts, out))
     elapsed = time.time() - t0
     out.close()
+    from soap3dp_tpu.utils import timers
+    timers.report("[bench]")
 
     reads_per_s = 2 * N_PAIRS / elapsed
     print(f"[bench] {total}", file=sys.stderr)

@@ -16,6 +16,9 @@ import time
 def _load(index_arg: str):
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.index.builder import load_index
+    from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     path = index_arg if index_arg.endswith(".t3i") else index_arg + ".t3i"
     t0 = time.time()

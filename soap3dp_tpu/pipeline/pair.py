@@ -34,6 +34,7 @@ from soap3dp_tpu.pipeline import cigar as cig
 from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
 from soap3dp_tpu.pipeline import options as opt
 from soap3dp_tpu.pipeline.options import AlignOptions
+from soap3dp_tpu.utils import timers
 from soap3dp_tpu.pipeline.single import _genome_codes, _qual_bytes, _seq_bytes
 
 PAIRING_CAP = 64  # per-end hits considered for pairing (per pair)
@@ -157,20 +158,24 @@ def align_pair_batch(
         t2 = _empty_table(B)
     else:
         cfg = SearchConfig(k=k)
-        t1 = hits.hits_to_table(search_reads(didx, b1.codes, lens1, cfg),
-                                B, index, lens1)
-        t2 = hits.hits_to_table(search_reads(didx, b2.codes, lens2, cfg),
-                                B, index, lens2)
-    st1 = hits.read_stats(t1, B)
-    st2 = hits.read_stats(t2, B)
-    combos = pair_hits(t1, t2, B, lens1, lens2, opts)
+        with timers.stage("A.search"):
+            h1 = search_reads(didx, b1.codes, lens1, cfg)
+            h2 = search_reads(didx, b2.codes, lens2, cfg)
+        with timers.stage("A.tables"):
+            t1 = hits.hits_to_table(h1, B, index, lens1)
+            t2 = hits.hits_to_table(h2, B, index, lens2)
+    with timers.stage("A.pairing"):
+        st1 = hits.read_stats(t1, B)
+        st2 = hits.read_stats(t2, B)
+        combos = pair_hits(t1, t2, B, lens1, lens2, opts)
 
     done = np.zeros(B, bool)
     # ---- phase A: emit BWT pairs (vectorized batch emission) ----
     paired = np.flatnonzero(np.diff(combos.start) > 0)
     if paired.size:
-        _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2,
-                              combos, paired, lens1, lens2, opts)
+        with timers.stage("A.emit"):
+            _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2,
+                                  combos, paired, lens1, lens2, opts)
         done[paired] = True
         summary.paired_bwt += len(paired)
         summary.num_records += 2 * len(paired)
@@ -179,25 +184,28 @@ def align_pair_batch(
         # ---- phase B/C: half-aligned rescue ----
         half = np.flatnonzero(~done & ((st1.best_nmis >= 0) | (st2.best_nmis >= 0)))
         if half.size:
-            n = _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2,
-                                     half, lens1, lens2, opts, sc, writer)
+            with timers.stage("BC.half_rescue"):
+                n = _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2,
+                                         half, lens1, lens2, opts, sc, writer)
             done[n] = True
             summary.paired_dp += len(n)
             summary.num_records += 2 * len(n)
         # ---- phase D: deep DP for both-unaligned ----
         deep = np.flatnonzero(~done)
         if deep.size:
-            n = _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2,
-                                opts, sc, writer)
+            with timers.stage("D.deep_dp"):
+                n = _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2,
+                                    opts, sc, writer)
             done[n] = True
             summary.paired_dp += len(n)
             summary.num_records += 2 * len(n)
         # ---- phase E: single-end salvage, unpaired output ----
         leftover = np.flatnonzero(~done)
         if leftover.size:
-            n_records = _single_salvage_pairs(index, didx, b1, b2, leftover,
-                                              lens1, lens2, opts, sc, writer,
-                                              summary)
+            with timers.stage("E.salvage"):
+                n_records = _single_salvage_pairs(index, didx, b1, b2, leftover,
+                                                  lens1, lens2, opts, sc, writer,
+                                                  summary)
             done[leftover] = True
             summary.num_records += n_records
 
@@ -435,56 +443,49 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
     """
     u, v = opts.max_insert, opts.min_insert
     n = int(index.n)
-    cand_rows = {"pair": [], "anchor_end": [], "anchor_row": [],
-                 "win_start": [], "win_len": [], "strand": []}
-    for b in half:
-        for (ta, st_a, anchor_end, mate_len) in (
-                (t1, st1, 0, int(lens2[b])), (t2, st2, 1, int(lens1[b]))):
-            g = ta.group(b)
-            rows = range(g.start, min(g.stop, g.start + MAX_ANCHORS))
-            for r in rows:
-                apos = int(ta.pos[r])
-                astrand = int(ta.strand[r])
-                alen = int(lens1[b]) if anchor_end == 0 else int(lens2[b])
-                if astrand == opts.strand_left_leg:
-                    ws = max(apos + v - mate_len, apos)
-                    we = apos + u
-                    mstrand = opts.strand_right_leg
-                elif astrand == opts.strand_right_leg:
-                    aend = apos + alen
-                    ws = aend - u
-                    we = min(aend - v + mate_len, aend - 1)
-                    mstrand = opts.strand_left_leg
-                else:
-                    continue
-                ws = max(ws, 0)
-                we = min(we, n)
-                if we - ws < mate_len // 2:
-                    continue
-                cand_rows["pair"].append(b)
-                cand_rows["anchor_end"].append(anchor_end)
-                cand_rows["anchor_row"].append(r)
-                cand_rows["win_start"].append(ws)
-                cand_rows["win_len"].append(we - ws)
-                cand_rows["strand"].append(mstrand)
-    if not cand_rows["pair"]:
+    parts = []  # (pair, anchor_end, anchor_row, win_start, win_len, strand)
+    for (ta, anchor_end) in ((t1, 0), (t2, 1)):
+        cnt = np.minimum(ta.counts()[half], MAX_ANCHORS).astype(np.int64)
+        if not cnt.sum():
+            continue
+        rep = np.repeat(half, cnt).astype(np.int64)            # pair ids
+        rk = np.arange(len(rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)   # rank in group
+        rows = ta.start[rep] + rk                              # anchor rows
+        apos = ta.pos[rows].astype(np.int64)
+        astrand = ta.strand[rows].astype(np.int64)
+        lens_a = (lens1 if anchor_end == 0 else lens2)[rep].astype(np.int64)
+        mate_len = (lens2 if anchor_end == 0 else lens1)[rep].astype(np.int64)
+        is_left = astrand == opts.strand_left_leg
+        is_right = ~is_left & (astrand == opts.strand_right_leg)
+        aend = apos + lens_a
+        ws = np.where(is_left, np.maximum(apos + v - mate_len, apos), aend - u)
+        we = np.where(is_left, apos + u,
+                      np.minimum(aend - v + mate_len, aend - 1))
+        mstr = np.where(is_left, opts.strand_right_leg, opts.strand_left_leg)
+        ws = np.maximum(ws, 0)
+        we = np.minimum(we, n)
+        ok = (is_left | is_right) & (we - ws >= mate_len // 2)
+        if ok.any():
+            parts.append((rep[ok].astype(np.int32),
+                          np.full(int(ok.sum()), anchor_end, np.int8),
+                          rows[ok].astype(np.int64),
+                          ws[ok], (we - ws)[ok].astype(np.int32),
+                          mstr[ok].astype(np.int8)))
+    if not parts:
         return np.zeros(0, int)
-
-    pair = np.asarray(cand_rows["pair"], np.int32)
-    anchor_end = np.asarray(cand_rows["anchor_end"], np.int8)
-    anchor_row = np.asarray(cand_rows["anchor_row"], np.int64)
-    win_start = np.asarray(cand_rows["win_start"], np.int64)
-    win_len = np.asarray(cand_rows["win_len"], np.int32)
-    mstrand = np.asarray(cand_rows["strand"], np.int8)
+    pair, anchor_end, anchor_row, win_start, win_len, mstrand = (
+        np.concatenate([p[i] for p in parts]) for i in range(6))
 
     # build the mate-read subset: one problem per candidate
     L = max(b1.codes.shape[1], b2.codes.shape[1])
     mreads = np.zeros((len(pair), L), np.uint8)
     mlens = np.zeros(len(pair), np.int32)
-    for i, (b, ae) in enumerate(zip(pair, anchor_end)):
-        src = b2 if ae == 0 else b1
-        mreads[i, :src.codes.shape[1]] = src.codes[b]
-        mlens[i] = src.lens[b]
+    m0 = anchor_end == 0
+    mreads[np.flatnonzero(m0), :b2.codes.shape[1]] = b2.codes[pair[m0]]
+    mreads[np.flatnonzero(~m0), :b1.codes.shape[1]] = b1.codes[pair[~m0]]
+    mlens[m0] = b2.lens[pair[m0]]
+    mlens[~m0] = b1.lens[pair[~m0]]
     cand = dp_rescue.Candidates(
         read=np.arange(len(pair), dtype=np.int32),
         strand=mstrand, pos=win_start)
@@ -502,14 +503,13 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
 
     # best DP result per pair (highest mate score, then leftmost)
     order = np.lexsort((res.pos, -res.score, pair[res.read]))
+    bb = pair[res.read][order]
+    first = np.concatenate([[True], bb[1:] != bb[:-1]]) if len(bb) else \
+        np.zeros(0, bool)
     rescued = []
-    seen = set()
-    for i in order:
+    for i in order[first]:
         ci = int(res.read[i])
         b = int(pair[ci])
-        if b in seen:
-            continue
-        seen.add(b)
         ae = int(anchor_end[ci])
         ta, sta, lens_a = (t1, st1, lens1) if ae == 0 else (t2, st2, lens2)
         batch_a, batch_m = (b1, b2) if ae == 0 else (b2, b1)
@@ -580,33 +580,44 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
         return np.zeros(0, int)
     # pair candidate loci: for each read, loci of end1 x end2 with
     # plausible insert (positions are read-start estimates; allow the
-    # DP margin both ways, DP2_MARGIN DV-DPfunctions.cu:2549)
+    # DP margin both ways, DP2_MARGIN DV-DPfunctions.cu:2549).
+    # Vectorized cross-join per read (candidates are sorted by read).
     u, v = opts.max_insert, opts.min_insert
-    pairs = []  # (subset read, i1, i2)
-    by1: dict[int, list[int]] = {}
-    for i in range(c1.read.shape[0]):
-        by1.setdefault(int(c1.read[i]), []).append(i)
-    for j in range(c2.read.shape[0]):
-        rd = int(c2.read[j])
-        for i in by1.get(rd, []):
-            s1, s2 = int(c1.strand[i]), int(c2.strand[j])
-            p1, p2 = int(c1.pos[i]), int(c2.pos[j])
-            l1, l2 = int(sl1[rd]), int(sl2[rd])
-            if p1 <= p2:
-                ok = (s1 == opts.strand_left_leg and s2 == opts.strand_right_leg)
-                ins = p2 + l2 - p1
-            else:
-                ok = (s2 == opts.strand_left_leg and s1 == opts.strand_right_leg)
-                ins = p1 + l1 - p2
-            margin = dp_rescue.dp_margin(max(l1, l2))
-            if ok and v - margin <= ins <= u + margin:
-                pairs.append((rd, i, j))
-    if not pairs:
+    B_sub = len(deep)
+    g1 = np.searchsorted(c1.read, np.arange(B_sub + 1)).astype(np.int64)
+    g2 = np.searchsorted(c2.read, np.arange(B_sub + 1)).astype(np.int64)
+    n1 = np.diff(g1)
+    n2 = np.diff(g2)
+    combos = n1 * n2
+    total = int(combos.sum())
+    if total == 0:
         return np.zeros(0, int)
-    pairs = pairs[:200000]
-    rd = np.asarray([p[0] for p in pairs], np.int32)
-    i1 = np.asarray([p[1] for p in pairs], np.int64)
-    i2 = np.asarray([p[2] for p in pairs], np.int64)
+    off = np.zeros(B_sub + 1, np.int64)
+    np.cumsum(combos, out=off[1:])
+    pid = np.repeat(np.arange(B_sub, dtype=np.int64), combos)
+    cix = np.arange(total, dtype=np.int64) - off[pid]
+    i1 = g1[pid] + cix // n2[pid]
+    i2 = g2[pid] + cix % n2[pid]
+    p1 = c1.pos[i1]
+    p2 = c2.pos[i2]
+    s1c = c1.strand[i1]
+    s2c = c2.strand[i2]
+    l1 = sl1[pid].astype(np.int64)
+    l2 = sl2[pid].astype(np.int64)
+    left1 = p1 <= p2
+    ins = np.where(left1, p2 + l2 - p1, p1 + l1 - p2)
+    okc = np.where(
+        left1,
+        (s1c == opts.strand_left_leg) & (s2c == opts.strand_right_leg),
+        (s2c == opts.strand_left_leg) & (s1c == opts.strand_right_leg))
+    margin = dp_rescue.dp_margin(np.maximum(l1, l2))
+    okc &= (ins >= v - margin) & (ins <= u + margin)
+    if not okc.any():
+        return np.zeros(0, int)
+    sel = np.flatnonzero(okc)[:200000]
+    rd = pid[sel].astype(np.int32)
+    i1 = i1[sel]
+    i2 = i2[sel]
 
     res_ends = []
     for (cc, sub, sl, ii) in ((c1, sub1, sl1, i1), (c2, sub2, sl2, i2)):
@@ -625,20 +636,18 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
             opts.dp_cutoff(sl[rd]), sc, index_host=index)
         res_ends.append(res)
     r1, r2 = res_ends
-    # both ends must pass for the same problem
-    ok1 = {int(p): i for i, p in enumerate(r1.problem)}
+    # both ends must pass for the same problem; best total score per pair
+    common, ia, ib = np.intersect1d(r1.problem, r2.problem,
+                                    return_indices=True)
     rescued = []
-    best_by_pair: dict[int, tuple[int, int, int]] = {}
-    for j, p in enumerate(r2.problem):
-        i = ok1.get(int(p))
-        if i is None:
-            continue
-        b_sub = int(rd[int(p)])
-        score = int(r1.score[i]) + int(r2.score[j])
-        cur = best_by_pair.get(b_sub)
-        if cur is None or score > cur[0]:
-            best_by_pair[b_sub] = (score, i, j)
-    for b_sub, (_, i, j) in best_by_pair.items():
+    if common.size == 0:
+        return np.zeros(0, int)
+    score = r1.score[ia].astype(np.int64) + r2.score[ib]
+    b_subs = rd[common.astype(np.int64)]
+    order = np.lexsort((-score, b_subs))
+    firstm = np.concatenate([[True], b_subs[order][1:] != b_subs[order][:-1]])
+    for m in order[firstm]:
+        b_sub, i, j = int(b_subs[m]), int(ia[m]), int(ib[m])
         b = int(deep[b_sub])
         e1 = _dp_end(index, r1, i, int(lens1[b]), opts)
         e2 = _dp_end(index, r2, j, int(lens2[b]), opts)
@@ -724,11 +733,11 @@ def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInf
         opts.dp_cutoff(sl[cand.read]), sc, index_host=index)
     out: dict[int, EndInfo] = {}
     order = np.lexsort((res.pos, -res.score, res.read))
-    for i in order:
+    rr = res.read[order]
+    firstr = np.concatenate([[True], rr[1:] != rr[:-1]]) if len(rr) else \
+        np.zeros(0, bool)
+    for i in order[firstr]:
         b = int(subset[int(res.read[i])])
-        if b in out:
-            continue
-        e = _dp_end(index, res, i, int(lens[b]), opts)
         e.mapq = int(mapq.bwa_like_single(
             np.asarray(max(int(res.n_best_cells[i]), 1)), np.asarray(0))[()])
         out[b] = e

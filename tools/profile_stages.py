@@ -37,9 +37,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     import bench
     from soap3dp_tpu.fm import fmindex
-    from soap3dp_tpu.fm.search import SearchConfig, _search_batch
+    from soap3dp_tpu.fm.search import SearchConfig, search_reads
     from soap3dp_tpu.kernels.banded_dp import DPScores, dp_forward, dp_traceback
     from soap3dp_tpu.pipeline import hits as hitmod
     from soap3dp_tpu.pipeline.options import AlignOptions
@@ -57,13 +59,12 @@ def main():
     B = args.pairs
     lens = jnp.full(B, bench.READ_LEN, jnp.int32)
     cfg = SearchConfig(k=2, occ_cap=16)
-    steps = bench.READ_LEN // 3 + 1 - (index.lut_k if bench.READ_LEN // 3 >= index.lut_k else 0)
 
     print(f"batch = {B} pairs ({2 * B} reads x {bench.READ_LEN}bp)",
           file=sys.stderr)
     r1 = jnp.asarray(b1.codes)
     h = t("search end1 (seed+decode+verify+dedupe)",
-          lambda: _search_batch(didx, r1, lens, cfg, cfg.occ_cap, steps))
+          lambda: search_reads(didx, r1, lens, cfg))
 
     # host post-processing
     t0 = time.time()
