@@ -738,6 +738,7 @@ def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInf
         np.zeros(0, bool)
     for i in order[firstr]:
         b = int(subset[int(res.read[i])])
+        e = _dp_end(index, res, i, int(lens[b]), opts)
         e.mapq = int(mapq.bwa_like_single(
             np.asarray(max(int(res.n_best_cells[i]), 1)), np.asarray(0))[()])
         out[b] = e

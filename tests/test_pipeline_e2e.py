@@ -209,6 +209,26 @@ def test_pair_deep_dp(small_index, small_device_index, small_genome, rng):
     assert "D" in r1["cigar"]
 
 
+def test_pair_single_salvage(small_index, small_device_index, small_genome,
+                             rng):
+    """Phase E: one end real, mate garbage and no insert-window rescue —
+    the real end must come back as an unpaired aligned record."""
+    codes = small_genome.codes
+    L = 50
+    p = 5000
+    good = codes[p:p + L].copy()
+    good[7] = (good[7] + 1) % 4
+    junk = rng.integers(0, 4, L).astype(np.uint8)
+    summary, recs = run_pair(small_index, small_device_index,
+                             make_batch([good]), make_batch([junk]),
+                             min_insert=1, max_insert=60)  # window too tight
+    r1 = next(r for r in recs if r["flag"] & 0x40)
+    assert not r1["flag"] & 0x4, "real end must align"
+    assert r1["pos"] == p + 1
+    assert r1["flag"] & 0x1  # still flagged paired
+    assert summary.single_rescued >= 1
+
+
 def test_pair_unmapped(small_index, small_device_index, rng):
     b1 = make_batch([rng.integers(0, 4, 40).astype(np.uint8)])
     b2 = make_batch([rng.integers(0, 4, 40).astype(np.uint8)])
