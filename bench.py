@@ -118,6 +118,8 @@ def main() -> int:
     t0 = time.time()
     align_pair_batch(index, didx, wb1, wb2, opts, out)
     print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    from soap3dp_tpu.utils import timers
+    timers.report("[bench warmup]")
 
     b1, b2 = make_pairs(codes, N_PAIRS, rng)
     total = PairSummary()

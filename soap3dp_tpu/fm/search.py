@@ -199,7 +199,12 @@ def _steps_for(idx: DeviceIndex, seed_q: int, min_seg: int) -> int:
 
 
 def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
-    """Dispatch _search_batch, growing the compaction budget on overflow."""
+    """Dispatch _search_batch, growing the compaction budget on overflow.
+
+    The returned arrays are sliced (device-side) to a bucketed prefix:
+    the sort pushes sentinel entries to the end, so the prefix holds
+    every valid hit and the host transfer shrinks to the real hit count.
+    """
     K = shapes.bucket(2 * B * S * 2, min_size=1024)
     K_max = 2 * B * S * cap
     while True:
@@ -207,8 +212,14 @@ def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
                                     seed_q, min(K, K_max))
         t = int(total)
         if t <= K or K >= K_max:
-            return hits
+            break
         K = min(shapes.bucket(t), K_max)
+    tb = min(shapes.bucket(t, min_size=1024), min(K, K_max))
+    if tb < hits.row.shape[0]:
+        hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
+                         nmis=hits.nmis[:tb], valid=hits.valid[:tb],
+                         flagged=hits.flagged)
+    return hits
 
 
 def search_reads(

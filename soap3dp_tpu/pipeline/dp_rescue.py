@@ -29,7 +29,9 @@ traced back to CIGAR runs.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,8 +39,10 @@ from soap3dp_tpu.fm import fmindex
 from soap3dp_tpu.fm.fmindex import DeviceIndex
 from soap3dp_tpu.index.builder import Index
 from soap3dp_tpu.kernels.banded_dp import DPScores, dp_forward, dp_traceback
+from soap3dp_tpu.utils import timers
 
 MERGE_GAP = 50  # candidates within 50bp collapse (DP2_DIVIDE_GAP)
+U32 = jnp.uint32
 
 
 def dp_margin(rlen: np.ndarray) -> np.ndarray:
@@ -103,6 +107,52 @@ class Candidates:
     pos: np.ndarray     # (M,) int64 candidate read-start text position
 
 
+@partial(jax.jit, static_argnames=("occ_cap", "max_steps", "K"))
+def _seed_cand_batch(
+    idx: DeviceIndex,
+    reads: jax.Array,      # (B, L) uint8 forward codes
+    lens: jax.Array,       # (B,) int32
+    seed_pos: jax.Array,   # (B, S) int32
+    seed_len: jax.Array,   # (B,) int32
+    occ_cap: int,
+    max_steps: int,
+    K: int,
+):
+    """Device half of seed_candidates: search + compacted SA decode.
+
+    Returns (row, pos, valid, total): row is the oriented row id,
+    pos the (clamped-at-0) candidate read-start text position.
+    """
+    B, L = reads.shape
+    S = seed_pos.shape[1]
+    oriented = jnp.concatenate(
+        [reads, fmindex.revcomp_reads(reads, lens)], axis=0)
+    R = 2 * B
+    sp = jnp.concatenate([seed_pos, seed_pos], axis=0)
+    sl2 = jnp.concatenate([seed_len, seed_len]).astype(jnp.int32)
+    ln2 = jnp.concatenate([lens, lens]).astype(jnp.int32)
+    sp = jnp.minimum(sp, jnp.maximum(ln2 - sl2, 0)[:, None])
+    slen_arr = jnp.broadcast_to(jnp.minimum(sl2, ln2)[:, None], sp.shape)
+    rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
+    l, r = fmindex.backward_search(
+        idx, oriented[rows], sp.reshape(-1), slen_arr.reshape(-1),
+        max_steps=max_steps)
+    width = r - l
+    slot = jnp.arange(occ_cap, dtype=jnp.uint32)[None, :]
+    ok = slot < jnp.minimum(width, U32(occ_cap))[:, None]     # (R*S, cap)
+    total = ok.sum(dtype=jnp.int32)
+    flat = jnp.nonzero(ok.reshape(-1), size=K, fill_value=-1)[0]
+    cvalid = flat >= 0
+    safe = jnp.where(cvalid, flat, 0)
+    lane = (safe // occ_cap).astype(jnp.int32)
+    cslot = (safe % occ_cap).astype(jnp.uint32)
+    sa_pos = fmindex.sa_decode(idx, l[lane] + cslot, cvalid)
+    st = sp.reshape(-1).astype(U32)[lane]
+    cvalid &= sa_pos >= st
+    pos = jnp.where(cvalid, sa_pos - st, U32(0))
+    return rows[lane], pos, cvalid, total
+
+
 def seed_candidates(
     idx: DeviceIndex,
     reads: np.ndarray,     # (B, L) uint8 forward codes (subset to rescue)
@@ -128,37 +178,29 @@ def seed_candidates(
     seed_pos = shapes.pad_rows(np.asarray(seed_pos, np.int32), B)
     seed_len = shapes.pad_rows(np.asarray(seed_len, np.int32), B)
     S = seed_pos.shape[1]
-    oriented = jnp.concatenate(
-        [jnp.asarray(reads),
-         fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))],
-        axis=0)
     R = 2 * B
-    # seeds laid out (R*S,): clamp seed windows into [0, len - seed_len]
-    sp = np.concatenate([seed_pos, seed_pos], axis=0)
-    sl2 = np.concatenate([seed_len, seed_len]).astype(np.int32)
-    ln2 = np.concatenate([lens, lens]).astype(np.int32)
-    sp = np.minimum(sp, np.maximum(ln2 - sl2, 0)[:, None])
-    slen_arr = np.broadcast_to(np.minimum(sl2, ln2)[:, None], sp.shape)
-    rows = np.repeat(np.arange(R, dtype=np.int32), S)
     # the seed-length table has a handful of staged values, so this
     # static bound yields a bounded jit-cache set
     msl = int(seed_len.max()) if seed_len.size else 0
-    l, r = fmindex.backward_search(
-        idx, oriented[rows], jnp.asarray(np.ascontiguousarray(sp.reshape(-1))),
-        jnp.asarray(np.ascontiguousarray(slen_arr.reshape(-1))),
-        max_steps=max(msl - idx.lut_k, min(idx.lut_k, msl)))
-    width = np.asarray(r).astype(np.int64) - np.asarray(l).astype(np.int64)
-    slot = np.arange(occ_cap, dtype=np.uint32)[None, :]
-    rows_dec = (np.asarray(l)[:, None] + slot).astype(np.uint32)
-    ok = slot < np.minimum(width, occ_cap)[:, None]
-    sa_pos = np.asarray(fmindex.sa_decode(
-        idx, jnp.asarray(rows_dec.reshape(-1)), jnp.asarray(ok.reshape(-1))))
-    sa_pos = sa_pos.reshape(-1, occ_cap).astype(np.int64)
-    cand_pos = sa_pos - sp.reshape(-1)[:, None]
-    cand_row = np.repeat(rows, occ_cap).reshape(-1, occ_cap)
-    okf = ok & (cand_pos >= 0)
-    rowf = cand_row[okf]
-    posf = cand_pos[okf]
+    max_steps = max(msl - idx.lut_k, min(idx.lut_k, msl))
+    K = shapes.bucket(R * S * 2, min_size=1024)
+    K_max = R * S * occ_cap
+    with timers.stage("dp.seed_cand"):
+        while True:
+            rowd, posd, vald, total = _seed_cand_batch(
+                idx, jnp.asarray(reads), jnp.asarray(lens, jnp.int32),
+                jnp.asarray(seed_pos, jnp.int32), jnp.asarray(seed_len, jnp.int32),
+                occ_cap, max_steps, min(K, K_max))
+            t = int(total)
+            if t <= K or K >= K_max:
+                break
+            K = min(shapes.bucket(t), K_max)
+    # transfer a bucketed prefix only (nonzero output is index-sorted,
+    # so pad entries sit at the end)
+    tb = min(shapes.bucket(t, min_size=1024), min(K, K_max))
+    vald = np.asarray(vald[:tb])
+    rowf = np.asarray(rowd[:tb])[vald]
+    posf = np.asarray(posd[:tb])[vald].astype(np.int64)
     strand = (rowf >= B).astype(np.int8)
     read = (rowf - strand.astype(np.int32) * B).astype(np.int32)
     keep_real = read < B_real  # drop bucket-padding rows
@@ -242,26 +284,37 @@ def run_banded_dp(
                         win_start=z, n_best_cells=z.astype(np.int32),
                         problem=z.astype(np.int64))
     L = reads.shape[1]
-    oriented = np.asarray(jnp.where(
-        jnp.asarray(cand.strand[:, None] == 1),
-        fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cand.read],
-        jnp.asarray(reads)[cand.read]))
-    rlen = lens[cand.read].astype(np.int32)
-    wins = np.asarray(fmindex.extract_genome(
-        idx, jnp.asarray(win_start.astype(np.uint32)), max_win)).astype(np.uint8)
+    with timers.stage("dp.pack"):
+        # stays on device end to end: orientation, window extraction and
+        # the DP all consume HBM-resident arrays (no host round trip)
+        oriented = jnp.where(
+            jnp.asarray(cand.strand[:, None] == 1),
+            fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cand.read],
+            jnp.asarray(reads)[cand.read])
+        rlen = lens[cand.read].astype(np.int32)
+        wins = fmindex.extract_genome(
+            idx, jnp.asarray(win_start.astype(np.uint32)), max_win).astype(jnp.uint8)
 
-    bS, bI, bJ, bC, dirs = dp_forward(
-        jnp.asarray(oriented), jnp.asarray(rlen), jnp.asarray(wins),
-        jnp.asarray(win_len.astype(np.int32)),
-        jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(clip_r.astype(np.int32)),
-        jnp.asarray(anchor_l.astype(np.int32)), jnp.asarray(anchor_r.astype(np.int32)),
-        sc=sc)
-    score = np.asarray(bS)
+    with timers.stage("dp.forward"):
+        bS, bI, bJ, bC, dirs = dp_forward(
+            oriented, jnp.asarray(rlen), wins,
+            jnp.asarray(win_len.astype(np.int32)),
+            jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(clip_r.astype(np.int32)),
+            jnp.asarray(anchor_l.astype(np.int32)), jnp.asarray(anchor_r.astype(np.int32)),
+            sc=sc)
+        score = np.asarray(bS)
     passed = score >= cutoff
-    ops, cnts, nrun, startj = dp_traceback(
-        dirs, jnp.asarray(oriented), jnp.asarray(rlen), jnp.asarray(wins),
-        bI, bJ, jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(passed))
-    ops, cnts, nrun, startj = map(np.asarray, (ops, cnts, nrun, startj))
+    with timers.stage("dp.traceback"):
+        ops, cnts, nrun, startj = dp_traceback(
+            dirs, oriented, jnp.asarray(rlen), wins,
+            bI, bJ, jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(passed))
+        # transfer only the used run columns (alignments rarely exceed a
+        # handful of runs; the device buffer is worst-case Lr+Lw wide)
+        nrun, startj = np.asarray(nrun), np.asarray(startj)
+        mx = shapes.bucket_multiple(int(nrun.max()) if nrun.size else 1, 16, 16)
+        mx = min(mx, ops.shape[1])
+        ops = np.asarray(ops[:, :mx])
+        cnts = np.asarray(cnts[:, :mx])
     if index_host is not None:
         # drop alignments whose reference span [pos, pos+span) crosses a
         # chromosome boundary or an excluded ambiguity region (the
