@@ -80,6 +80,19 @@ class HitArrays:
     flagged: jax.Array  # (B,) bool — needs a bigger-budget re-run
 
     def to_host(self):
+        """Device->host with packed transfers.
+
+        Every D2H transfer pays a fixed round-trip latency (remote-TPU
+        tunnels make this ~10ms), so the four hit columns ship as ONE
+        concatenated u32 array instead of four."""
+        if isinstance(self.row, jax.Array) and not isinstance(self.row, np.ndarray):
+            packed = jnp.concatenate([
+                self.row.astype(jnp.uint32), self.tp,
+                self.nmis.astype(jnp.uint32), self.valid.astype(jnp.uint32)])
+            ph = np.asarray(packed).reshape(4, -1)
+            return (ph[0].astype(np.int32), ph[1],
+                    ph[2].astype(np.int32), ph[3].astype(bool),
+                    np.asarray(self.flagged))
         return (np.asarray(self.row), np.asarray(self.tp),
                 np.asarray(self.nmis), np.asarray(self.valid),
                 np.asarray(self.flagged))

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = -32000      # DP_SCORE_NEG_INFINITY (DV-DPfunctions.cu:52)
 NEG_BIG = -(1 << 20)  # masking value, far below any reachable score
@@ -157,7 +158,10 @@ def dp_forward(
         D_new = D_new.at[:, 0].set(NEG_BIG)
         I_new = I_new.at[:, 0].set(_clamp(init_j[:, 0] + gi))
 
-        dirs = (dH | (dD << 2) | (dI << 3)).astype(jnp.uint8)
+        # bit 5 = "this cell's read/window chars match": lets the
+        # traceback classify M vs m without touching reads/wins again
+        dirs = (dH | (dD << 2) | (dI << 3)
+                | ((chars == reads_pad).astype(jnp.int32) << 5)).astype(jnp.uint8)
 
         # best-cell tracking over eligible cells
         elig = ((i_vec >= 1) & (i_vec <= rlens[:, None]) & (j_vec >= 1)
@@ -188,69 +192,37 @@ def dp_forward(
 
 
 @jax.jit
-def dp_traceback(
-    dirs: jax.Array,     # (Lr+Lw, P, Lr+1) uint8 from dp_forward
-    reads: jax.Array,    # (P, Lr) uint8
-    rlens: jax.Array,    # (P,) int32
-    wins: jax.Array,     # (P, Lw) uint8
+def _traceback_scan(
+    dirs: jax.Array,     # (ND, P, Lr+1) uint8 from dp_forward
     hit_i: jax.Array,    # (P,) int32 (1-based)
     hit_j: jax.Array,    # (P,) int32 (1-based)
-    clip_l: jax.Array,   # (P,) int32
-    active: jax.Array,   # (P,) bool — lanes worth tracing (score >= cutoff)
+    active: jax.Array,   # (P,) bool
 ):
-    """Walk the direction tensor backwards, emitting run-length ops.
+    """Device half of the traceback: one reverse sweep over diagonals.
 
-    Returns (ops, counts, nruns, start_j): ops/counts are (P, MAXRUNS)
-    in right-to-left order (first run is the right clip); start_j is
-    the 0-based window offset where the alignment starts.
+    Instead of a data-dependent walk with one scattered HBM gather per
+    move (the shape of GPUBacktrack, DV-DPfunctions.cu:316-512), this
+    scans diagonals d = ND..1 so each step streams one (P, Lr+1) dirs
+    row sequentially; a problem at diagonal d takes its move via a
+    one-hot lane select (a VPU multiply-reduce, no gather) and problems
+    on other diagonals idle. Every move lowers i+j by 1 or 2, so one
+    sweep retires every lane. Emits one op per step per problem
+    (OP_NONE when idle); run-length encoding happens on the host.
     """
     ND, P, Lr1 = dirs.shape
-    Lr = reads.shape[1]
-    Lw = wins.shape[1]
-    MAXRUNS = Lr + Lw + 4
-    flat_dirs = dirs.reshape(-1)
-    pidx = jnp.arange(P, dtype=jnp.int32)
-
-    ops = jnp.zeros((P, MAXRUNS), jnp.int32)
-    cnts = jnp.zeros((P, MAXRUNS), jnp.int32)
-    # initial right-clip run
-    rclip = rlens - hit_i
-    has_rclip = (rclip > 0) & active
-    ops = ops.at[:, 0].set(jnp.where(has_rclip, OP_CLIP, OP_NONE))
-    cnts = cnts.at[:, 0].set(jnp.where(has_rclip, rclip, 0))
-    nrun = jnp.where(has_rclip, 1, 0)
-
     N, DCH, ICH = 0, 1, 2
+    lane = jnp.arange(Lr1, dtype=jnp.int32)[None, :]
 
-    def emit(ops, cnts, nrun, op, count, do):
-        """Append `count` of `op` to each active lane's run list."""
-        last = ops[pidx, jnp.maximum(nrun - 1, 0)]
-        same = (last == op) & (nrun > 0)
-        idx = jnp.where(same, nrun - 1, nrun)
-        newop = jnp.where(do, op, ops[pidx, idx])
-        newcnt = jnp.where(do, jnp.where(same, cnts[pidx, idx] + count, count),
-                           cnts[pidx, idx])
-        ops = ops.at[pidx, idx].set(newop)
-        cnts = cnts.at[pidx, idx].set(newcnt)
-        nrun = jnp.where(do, jnp.where(same, nrun, nrun + 1), nrun)
-        return ops, cnts, nrun
-
-    def cond(c):
-        i, j, state, done, *_ = c
-        return jnp.any(~done & (i > 0) & (j > 0))
-
-    def body(c):
-        i, j, state, done, startj, clip, ops, cnts, nrun = c
-        act = ~done & (i > 0) & (j > 0)
-        d = i + j
-        byte = flat_dirs[jnp.clip((d - 1) * P * Lr1 + pidx * Lr1 + i, 0, ND * P * Lr1 - 1)].astype(jnp.int32)
+    def step(carry, xs):
+        d, dirs_d = xs                    # dirs_d = dirs[d-1]: (P, Lr1)
+        i, j, state, done, startj, clip = carry
+        act = ~done & (i > 0) & (j > 0) & (i + j == d)
+        oh = lane == i[:, None]
+        byte = jnp.where(oh, dirs_d.astype(jnp.int32), 0).sum(axis=1)
         dH = byte & 3
         dD = (byte >> 2) & 1
         dI = (byte >> 3) & 3
-        rc = jnp.take_along_axis(reads, jnp.clip(i[:, None] - 1, 0, Lr - 1), axis=1)[:, 0]
-        wc = jnp.take_along_axis(wins, jnp.clip(j[:, None] - 1, 0, Lw - 1), axis=1)[:, 0]
-        is_match = rc == wc
-        mop = jnp.where(is_match, OP_MATCH, OP_MISMATCH)
+        mop = jnp.where((byte >> 5) & 1, OP_MATCH, OP_MISMATCH)
 
         do_diag = act & (state == N) & (dH == DH_DIAG)
         do_sm = act & (state == N) & (dH == DH_SM)
@@ -258,38 +230,125 @@ def dp_traceback(
         do_i = act & ((state == ICH) | ((state == N) & (dH == DH_I)))
         i_fresh = do_i & (dI == DI_FRESH)
 
-        op = jnp.where(do_diag | do_sm, mop,
-                       jnp.where(do_d, OP_DEL, OP_INS))
-        ops, cnts, nrun = emit(ops, cnts, nrun, op, 1, act)
+        op = jnp.where(act,
+                       jnp.where(do_diag | do_sm, mop,
+                                 jnp.where(do_d, OP_DEL, OP_INS)),
+                       OP_NONE).astype(jnp.int8)
 
         ni = jnp.where(do_diag | (do_i & ~i_fresh), i - 1, i)
         nj = jnp.where(do_diag | do_sm | do_d, j - 1, j)
-        nstate = jnp.where(do_d, jnp.where(dD == DD_OPEN, N, DCH),
-                           jnp.where(do_i & ~i_fresh,
-                                     jnp.where(dI == DI_OPEN, N, ICH), N))
+        nstate = jnp.where(act,
+                           jnp.where(do_d, jnp.where(dD == DD_OPEN, N, DCH),
+                                     jnp.where(do_i & ~i_fresh,
+                                               jnp.where(dI == DI_OPEN, N, ICH), N)),
+                           state)
         exit_now = do_sm | i_fresh
         clip = jnp.where(exit_now, i - 1, clip)
         startj = jnp.where(do_sm, j - 1, jnp.where(i_fresh, j, startj))
         done = done | exit_now
-        return ni, nj, nstate, done, startj, clip, ops, cnts, nrun
+        i = jnp.where(act, ni, i)
+        j = jnp.where(act, nj, j)
+        return (i, j, nstate, done, startj, clip), op
 
-    i = jnp.where(active, hit_i, 0)
-    j = jnp.where(active, hit_j, 0)
-    state = jnp.zeros((P,), jnp.int32)
-    done = ~active
-    startj = jnp.zeros((P,), jnp.int32)
-    clip = jnp.zeros((P,), jnp.int32)
-    i, j, state, done, startj, clip, ops, cnts, nrun = jax.lax.while_loop(
-        cond, body, (i, j, state, done, startj, clip, ops, cnts, nrun))
+    init = (jnp.where(active, hit_i, 0), jnp.where(active, hit_j, 0),
+            jnp.zeros((P,), jnp.int32), ~active,
+            jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32))
+    ds = jnp.arange(1, ND + 1, dtype=jnp.int32)
+    (i, j, state, done, startj, clip), opseq = jax.lax.scan(
+        step, init, (ds, dirs), reverse=True)
+    meta = jnp.stack([i, j, done.astype(jnp.int32), startj, clip])
+    return opseq, meta
 
-    # boundary exits
+
+def dp_traceback(
+    dirs: jax.Array,     # (Lr+Lw, P, Lr+1) uint8 from dp_forward
+    reads: jax.Array,    # (P, Lr) uint8 (interface compat; match bit is in dirs)
+    rlens: jax.Array,    # (P,) int32
+    wins: jax.Array,     # (P, Lw) uint8 (interface compat)
+    hit_i: jax.Array,    # (P,) int32 (1-based)
+    hit_j: jax.Array,    # (P,) int32 (1-based)
+    clip_l: jax.Array,   # (P,) int32
+    active: jax.Array,   # (P,) bool — lanes worth tracing (score >= cutoff)
+):
+    """Traceback: device diagonal sweep + host run-length encoding.
+
+    Returns (ops, counts, nruns, start_j): ops/counts are (P, MAXRUNS)
+    numpy arrays in right-to-left order (first run is the right clip);
+    start_j is the 0-based window offset where the alignment starts.
+    """
+    del reads, wins  # match/mismatch is carried in dirs bit 5
+    ND, P, Lr1 = dirs.shape
+    opseq, meta = _traceback_scan(
+        dirs, jnp.asarray(hit_i), jnp.asarray(hit_j), jnp.asarray(active))
+    meta = np.asarray(meta)  # one packed (5, P) transfer
+    i, j, done = meta[0], meta[1], meta[2].astype(bool)
+    startj, clip = meta[3].copy(), meta[4].copy()
+    active = np.asarray(active)
+    rlens_h = np.asarray(rlens)
+    hit_i_h = np.asarray(hit_i)
+
+    # boundary exits (walk ran off the window/read edge)
     at_j0 = active & ~done & (j == 0) & (i > 0)
-    sc = jnp.minimum(clip_l, i)
-    ops, cnts, nrun = emit(ops, cnts, nrun, OP_INS, i - sc, at_j0 & (i - sc > 0))
-    clip = jnp.where(at_j0, sc, clip)
-    startj = jnp.where(at_j0, 0, startj)
+    scl = np.minimum(np.asarray(clip_l), i)
+    ins_tail = np.where(at_j0, i - scl, 0)
+    clip = np.where(at_j0, scl, clip)
+    startj = np.where(at_j0, 0, startj)
     at_i0 = active & ~done & (i == 0)
-    startj = jnp.where(at_i0, j, startj)
-    # left soft-clip run (SM/SI exits recorded `clip`; boundary j=0 uses sc)
-    ops, cnts, nrun = emit(ops, cnts, nrun, OP_CLIP, clip, active & (clip > 0))
+    startj = np.where(at_i0, j, startj)
+
+    # host RLE: [right clip] + move stream + [tail insert] + [left clip]
+    # opseq rows are stacked at d-1 (reverse scan), so emission order
+    # per problem is d descending = rows reversed.
+    S = np.asarray(opseq)[::-1].T                     # (P, ND) emission order
+    rclip = np.where(active, rlens_h - hit_i_h, 0)
+    ops, cnts, nrun = _rle_runs(S, rclip, ins_tail, np.where(active, clip, 0))
     return ops, cnts, nrun, startj
+
+
+def _rle_runs(S: np.ndarray, rclip: np.ndarray, ins_tail: np.ndarray,
+              lclip: np.ndarray):
+    """Run-length encode per-problem op streams into dense (P, MR) arrays.
+
+    S is (P, ND) move ops (OP_NONE = idle step); rclip/ins_tail/lclip
+    are per-problem counts for the bracketing runs.
+    """
+    P, ND = S.shape
+    rows_m, cols_m = np.nonzero(S != OP_NONE)
+    vals_m = S[rows_m, cols_m].astype(np.int32)
+    cnt_m = np.ones(len(rows_m), np.int64)
+
+    def seg(counts, op, segid):
+        r = np.flatnonzero(counts > 0)
+        return (r, np.full(len(r), segid, np.int8),
+                np.zeros(len(r), np.int64),
+                np.full(len(r), op, np.int32), counts[r].astype(np.int64))
+
+    r0, s0, p0, v0, c0 = seg(np.asarray(rclip), OP_CLIP, 0)
+    r2, s2, p2, v2, c2 = seg(np.asarray(ins_tail), OP_INS, 2)
+    r3, s3, p3, v3, c3 = seg(np.asarray(lclip), OP_CLIP, 3)
+    rows = np.concatenate([r0, rows_m, r2, r3])
+    segs = np.concatenate([s0, np.ones(len(rows_m), np.int8), s2, s3])
+    poss = np.concatenate([p0, cols_m, p2, p3])
+    vals = np.concatenate([v0, vals_m, v2, v3])
+    cnts = np.concatenate([c0, cnt_m, c2, c3])
+    order = np.lexsort((poss, segs, rows))
+    rows, vals, cnts = rows[order], vals[order], cnts[order]
+
+    if len(rows) == 0:
+        return (np.zeros((P, 1), np.int32), np.zeros((P, 1), np.int32),
+                np.zeros(P, np.int32))
+    change = np.concatenate(
+        [[True], (vals[1:] != vals[:-1]) | (rows[1:] != rows[:-1])])
+    runid = np.cumsum(change) - 1
+    ops_r = vals[change]
+    rows_r = rows[change]
+    cnts_r = np.bincount(runid, weights=cnts).astype(np.int32)
+    nrun = np.bincount(rows_r, minlength=P).astype(np.int32)
+    MR = max(int(nrun.max()), 1)
+    first = np.concatenate([[0], np.cumsum(nrun)[:-1]])
+    col = np.arange(len(ops_r)) - first[rows_r]
+    ops = np.zeros((P, MR), np.int32)
+    cnts_d = np.zeros((P, MR), np.int32)
+    ops[rows_r, col] = ops_r
+    cnts_d[rows_r, col] = cnts_r
+    return ops, cnts_d, nrun

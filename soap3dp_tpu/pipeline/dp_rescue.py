@@ -150,7 +150,10 @@ def _seed_cand_batch(
     st = sp.reshape(-1).astype(U32)[lane]
     cvalid &= sa_pos >= st
     pos = jnp.where(cvalid, sa_pos - st, U32(0))
-    return rows[lane], pos, cvalid, total
+    # one packed transfer: [row | pos | valid] (fixed D2H latency per event)
+    packed = jnp.concatenate([rows[lane].astype(U32), pos,
+                              cvalid.astype(U32)])
+    return packed, total
 
 
 def seed_candidates(
@@ -187,7 +190,7 @@ def seed_candidates(
     K_max = R * S * occ_cap
     with timers.stage("dp.seed_cand"):
         while True:
-            rowd, posd, vald, total = _seed_cand_batch(
+            packed, total = _seed_cand_batch(
                 idx, jnp.asarray(reads), jnp.asarray(lens, jnp.int32),
                 jnp.asarray(seed_pos, jnp.int32), jnp.asarray(seed_len, jnp.int32),
                 occ_cap, max_steps, min(K, K_max))
@@ -195,12 +198,16 @@ def seed_candidates(
             if t <= K or K >= K_max:
                 break
             K = min(shapes.bucket(t), K_max)
-    # transfer a bucketed prefix only (nonzero output is index-sorted,
-    # so pad entries sit at the end)
-    tb = min(shapes.bucket(t, min_size=1024), min(K, K_max))
-    vald = np.asarray(vald[:tb])
-    rowf = np.asarray(rowd[:tb])[vald]
-    posf = np.asarray(posd[:tb])[vald].astype(np.int64)
+        Kc = min(K, K_max)
+        # transfer a bucketed prefix only (nonzero output is index-sorted,
+        # so pad entries sit at the end), as one packed event
+        tb = min(shapes.bucket(t, min_size=1024), Kc)
+        ph = np.asarray(jnp.concatenate(
+            [packed[0:tb], packed[Kc:Kc + tb], packed[2 * Kc:2 * Kc + tb]])
+        ).reshape(3, -1)
+    vald = ph[2].astype(bool)
+    rowf = ph[0].astype(np.int32)[vald]
+    posf = ph[1][vald].astype(np.int64)
     strand = (rowf >= B).astype(np.int8)
     read = (rowf - strand.astype(np.int32) * B).astype(np.int32)
     keep_real = read < B_real  # drop bucket-padding rows
@@ -302,25 +309,20 @@ def run_banded_dp(
             jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(clip_r.astype(np.int32)),
             jnp.asarray(anchor_l.astype(np.int32)), jnp.asarray(anchor_r.astype(np.int32)),
             sc=sc)
-        score = np.asarray(bS)
+        stats = np.asarray(jnp.stack([bS, bI, bJ, bC]))  # one D2H event
+        score, hI, hJ, nbc = stats
     passed = score >= cutoff
     with timers.stage("dp.traceback"):
+        # returns host arrays already RLE'd to the tight run width
         ops, cnts, nrun, startj = dp_traceback(
-            dirs, oriented, jnp.asarray(rlen), wins,
-            bI, bJ, jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(passed))
-        # transfer only the used run columns (alignments rarely exceed a
-        # handful of runs; the device buffer is worst-case Lr+Lw wide)
-        nrun, startj = np.asarray(nrun), np.asarray(startj)
-        mx = shapes.bucket_multiple(int(nrun.max()) if nrun.size else 1, 16, 16)
-        mx = min(mx, ops.shape[1])
-        ops = np.asarray(ops[:, :mx])
-        cnts = np.asarray(cnts[:, :mx])
+            dirs, oriented, rlen, wins,
+            hI, hJ, clip_l.astype(np.int32), passed)
     if index_host is not None:
         # drop alignments whose reference span [pos, pos+span) crosses a
         # chromosome boundary or an excluded ambiguity region (the
         # reference's annotation/boundary handling in output)
         from soap3dp_tpu.io.sam import crosses_boundary
-        end_j = np.asarray(bJ).astype(np.int64)
+        end_j = hJ.astype(np.int64)
         span = np.maximum(end_j - startj, 1)
         passed &= ~crosses_boundary(
             index_host, (win_start + startj).astype(np.uint64), span)
@@ -329,5 +331,5 @@ def run_banded_dp(
         read=cand.read[sel], strand=cand.strand[sel],
         pos=win_start[sel] + startj[sel], score=score[sel],
         ops=ops[sel], cnts=cnts[sel], nrun=nrun[sel],
-        win_start=win_start[sel], n_best_cells=np.asarray(bC)[sel],
+        win_start=win_start[sel], n_best_cells=nbc[sel],
         problem=sel.astype(np.int64))

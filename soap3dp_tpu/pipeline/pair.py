@@ -159,8 +159,7 @@ def align_pair_batch(
     else:
         cfg = SearchConfig(k=k)
         with timers.stage("A.search"):
-            h1 = search_reads(didx, b1.codes, lens1, cfg)
-            h2 = search_reads(didx, b2.codes, lens2, cfg)
+            h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg)
         with timers.stage("A.tables"):
             t1 = hits.hits_to_table(h1, B, index, lens1)
             t2 = hits.hits_to_table(h2, B, index, lens2)
@@ -214,6 +213,37 @@ def align_pair_batch(
         summary.unaligned += 1
         summary.num_records += 2
     return summary
+
+
+def _search_both_ends(didx, b1, b2, lens1, lens2, cfg):
+    """One device search over both ends (2B reads): halves the dispatch
+    and D2H-latency count vs per-end searches, then splits the flat hit
+    arrays back into per-end HitArrays on the host."""
+    from soap3dp_tpu.fm.search import HitArrays
+
+    B = len(b1)
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+
+    def pad(c):
+        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+
+    reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
+    lens_all = np.concatenate([lens1, lens2])
+    h = search_reads(didx, reads_all, lens_all, cfg)
+    row, tp, nm, va, flagged = h.to_host()
+    B2 = 2 * B
+    strand = (row >= B2) & va
+    rid = np.where(va, row - strand * B2, 0)
+    is2 = rid >= B
+    out = []
+    for endsel in (~is2, is2):
+        m = va & endsel
+        r = rid[m] - (B if endsel is is2 else 0) + strand[m] * B
+        out.append(HitArrays(
+            row=r.astype(np.int32), tp=tp[m], nmis=nm[m],
+            valid=np.ones(r.shape[0], bool),
+            flagged=flagged[:B] if endsel is not is2 else flagged[B:]))
+    return out[0], out[1]
 
 
 def _empty_table(B):
@@ -567,15 +597,28 @@ def _cigar_ref_span(cigar: str) -> int:
 def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
                     writer) -> np.ndarray:
     """Seed both ends, pair candidate loci by insert window, DP both ends."""
-    sub1 = b1.codes[deep]
-    sub2 = b2.codes[deep]
+    max_len = int(max(b1.codes.shape[1], b2.codes.shape[1]))  # static
+
+    def pad(c):
+        return c if c.shape[1] == max_len else \
+            np.pad(c, ((0, 0), (0, max_len - c.shape[1])))
+
+    sub1 = pad(b1.codes)[deep]
+    sub2 = pad(b2.codes)[deep]
     sl1 = lens1[deep]
     sl2 = lens2[deep]
-    max_len = int(max(b1.codes.shape[1], b2.codes.shape[1]))  # static
+    Bd = len(deep)
     sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len)
     sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len)
-    c1 = dp_rescue.seed_candidates(didx, sub1, sl1, sp1, sl1s)
-    c2 = dp_rescue.seed_candidates(didx, sub2, sl2, sp2, sl2s)
+    # one seeding batch over both ends (fewer dispatches/transfers)
+    call = dp_rescue.seed_candidates(
+        didx, np.concatenate([sub1, sub2]), np.concatenate([sl1, sl2]),
+        np.concatenate([sp1, sp2]), np.concatenate([sl1s, sl2s]))
+    in2 = call.read >= Bd
+    c1 = dp_rescue.Candidates(read=call.read[~in2], strand=call.strand[~in2],
+                              pos=call.pos[~in2])
+    c2 = dp_rescue.Candidates(read=call.read[in2] - Bd,
+                              strand=call.strand[in2], pos=call.pos[in2])
     if c1.read.size == 0 or c2.read.size == 0:
         return np.zeros(0, int)
     # pair candidate loci: for each read, loci of end1 x end2 with
@@ -619,23 +662,37 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     i1 = i1[sel]
     i2 = i2[sel]
 
-    res_ends = []
-    for (cc, sub, sl, ii) in ((c1, sub1, sl1, i1), (c2, sub2, sl2, i2)):
-        margin = dp_rescue.dp_margin(sl[rd])
+    # one DP batch over both ends' problems (end2 reads offset by Bd)
+    M = len(rd)
+    reads_cat = np.concatenate([sub1, sub2])
+    lens_cat = np.concatenate([sl1, sl2])
+    cread, cstrand, cpos, cws, cwl = [], [], [], [], []
+    for (cc, sl, ii, off) in ((c1, sl1, i1, 0), (c2, sl2, i2, Bd)):
+        mg = dp_rescue.dp_margin(sl[rd])
         pos = cc.pos[ii]
-        ws = np.maximum(pos - margin, 0)
-        wl = np.minimum(sl[rd] + 2 * margin, int(index.n) - ws).astype(np.int32)
-        cand = dp_rescue.Candidates(read=rd, strand=cc.strand[ii], pos=pos)
-        max_win = int(wl.max())
-        clip_l = np.where(cand.strand == 1, opts.max_end_clip, opts.max_front_clip)
-        clip_r = np.where(cand.strand == 1, opts.max_front_clip, opts.max_end_clip)
-        res = dp_rescue.run_banded_dp(
-            didx, sub, sl, cand, ws, wl, max_win, clip_l, clip_r,
-            np.full(len(rd), max_win + 1, np.int32),
-            np.zeros(len(rd), np.int32),
-            opts.dp_cutoff(sl[rd]), sc, index_host=index)
-        res_ends.append(res)
-    r1, r2 = res_ends
+        ws = np.maximum(pos - mg, 0)
+        wl = np.minimum(sl[rd] + 2 * mg, int(index.n) - ws).astype(np.int32)
+        cread.append(rd + off)
+        cstrand.append(cc.strand[ii])
+        cpos.append(pos)
+        cws.append(ws)
+        cwl.append(wl)
+    cand = dp_rescue.Candidates(
+        read=np.concatenate(cread).astype(np.int32),
+        strand=np.concatenate(cstrand), pos=np.concatenate(cpos))
+    ws = np.concatenate(cws)
+    wl = np.concatenate(cwl)
+    max_win = int(wl.max())
+    clip_l = np.where(cand.strand == 1, opts.max_end_clip, opts.max_front_clip)
+    clip_r = np.where(cand.strand == 1, opts.max_front_clip, opts.max_end_clip)
+    rlens_c = lens_cat[cand.read]
+    res = dp_rescue.run_banded_dp(
+        didx, reads_cat, lens_cat, cand, ws, wl, max_win, clip_l, clip_r,
+        np.full(2 * M, max_win + 1, np.int32), np.zeros(2 * M, np.int32),
+        opts.dp_cutoff(rlens_c), sc, index_host=index)
+    e1 = res.problem < M
+    r1 = _slice_dp(res, e1, 0)
+    r2 = _slice_dp(res, ~e1, M)
     # both ends must pass for the same problem; best total score per pair
     common, ia, ib = np.intersect1d(r1.problem, r2.problem,
                                     return_indices=True)
@@ -657,6 +714,16 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     return np.asarray(rescued, int)
 
 
+def _slice_dp(res, mask, problem_offset):
+    """Boolean-slice a DPResult, shifting problem ids by -offset."""
+    import dataclasses as dc
+
+    sel = np.flatnonzero(mask)
+    kw = {f.name: getattr(res, f.name)[sel] for f in dc.fields(res)}
+    kw["problem"] = kw["problem"] - problem_offset
+    return dp_rescue.DPResult(**kw)
+
+
 def _deep_dp_mapq(r1, r2, i, j, opts) -> int:
     x0 = max(int(r1.n_best_cells[i]), 1) * max(int(r2.n_best_cells[j]), 1)
     return int(mapq.bwa_like_single(np.asarray(x0), np.asarray(0))[()])
@@ -672,10 +739,21 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
     from soap3dp_tpu.pipeline.single import _dp_salvage
 
     n_records = 0
-    results = {}
-    for (end, batch, lens) in ((0, b1, lens1), (1, b2, lens2)):
-        got = _salvage_end(index, didx, batch, leftover, lens, opts, sc)
-        results[end] = got
+    # one seeding + DP batch over both ends' leftover reads
+    Lc = max(b1.codes.shape[1], b2.codes.shape[1])
+
+    def pad(c):
+        return c if c.shape[1] == Lc else \
+            np.pad(c, ((0, 0), (0, Lc - c.shape[1])))
+
+    nlo = len(leftover)
+    reads_c = np.concatenate([pad(b1.codes)[leftover], pad(b2.codes)[leftover]])
+    lens_c = np.concatenate([lens1[leftover], lens2[leftover]]).astype(np.int32)
+    got_all = _salvage_reads(index, didx, reads_c, lens_c, opts, sc)
+    results = {
+        0: {int(leftover[i]): e for i, e in got_all.items() if i < nlo},
+        1: {int(leftover[i - nlo]): e for i, e in got_all.items() if i >= nlo},
+    }
     for b in leftover:
         got1 = results[0].get(int(b))
         got2 = results[1].get(int(b))
@@ -712,10 +790,9 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
     return n_records
 
 
-def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInfo]:
-    reads = batch.codes[subset]
-    sl = lens[subset]
-    max_len = int(batch.codes.shape[1])  # static
+def _salvage_reads(index, didx, reads, sl, opts, sc) -> dict[int, EndInfo]:
+    """Single-end DP salvage over a read matrix; keys = row indices."""
+    max_len = int(reads.shape[1])  # static
     seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(sl, max_len)
     cand = dp_rescue.seed_candidates(didx, reads, sl, seed_pos, seed_len)
     if cand.read.size == 0:
@@ -737,8 +814,8 @@ def _salvage_end(index, didx, batch, subset, lens, opts, sc) -> dict[int, EndInf
     firstr = np.concatenate([[True], rr[1:] != rr[:-1]]) if len(rr) else \
         np.zeros(0, bool)
     for i in order[firstr]:
-        b = int(subset[int(res.read[i])])
-        e = _dp_end(index, res, i, int(lens[b]), opts)
+        b = int(res.read[i])
+        e = _dp_end(index, res, i, int(sl[b]), opts)
         e.mapq = int(mapq.bwa_like_single(
             np.asarray(max(int(res.n_best_cells[i]), 1)), np.asarray(0))[()])
         out[b] = e
