@@ -29,8 +29,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 40_000_000))
 READ_LEN = 100
 INSERT = 400
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", 50_000))
-BATCH = int(os.environ.get("BENCH_BATCH", 25_000))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 100_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 50_000))
 BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
 
 
@@ -84,6 +84,9 @@ def make_pairs(codes, n_pairs, rng):
 
 
 class NullWriter:
+    needs_seq = False
+    needs_tags = False
+
     def write(self, rec):
         pass
 
@@ -121,15 +124,27 @@ def main() -> int:
     from soap3dp_tpu.utils import timers
     timers.report("[bench warmup]")
 
+    from soap3dp_tpu.io.fastq import ReadBatch
+    from soap3dp_tpu.pipeline.pair import dispatch_pair_search
+
     b1, b2 = make_pairs(codes, N_PAIRS, rng)
-    total = PairSummary()
-    t0 = time.time()
+    batches = []
     for s in range(0, N_PAIRS, BATCH):
         sl = slice(s, s + BATCH)
-        from soap3dp_tpu.io.fastq import ReadBatch
-        sb1 = ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None)
-        sb2 = ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)
-        total.add(align_pair_batch(index, didx, sb1, sb2, opts, out))
+        batches.append((ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None),
+                        ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)))
+    total = PairSummary()
+    t0 = time.time()
+    # double-buffered: dispatch batch i+1's device search before doing
+    # batch i's host work (the reference's GPU/CPU overlap,
+    # alignment.cu:554-561)
+    pending = dispatch_pair_search(didx, *batches[0], opts)
+    for i, (sb1, sb2) in enumerate(batches):
+        nxt = dispatch_pair_search(didx, *batches[i + 1], opts) \
+            if i + 1 < len(batches) else None
+        total.add(align_pair_batch(index, didx, sb1, sb2, opts, out,
+                                   pending_search=pending))
+        pending = nxt
     elapsed = time.time() - t0
     out.close()
     from soap3dp_tpu.utils import timers

@@ -70,15 +70,27 @@ def run_pair(args) -> int:
     from soap3dp_tpu.io.fastq import read_pairs
     from soap3dp_tpu.pipeline.pair import PairSummary, align_pair_batch
 
+    from soap3dp_tpu.pipeline.pair import dispatch_pair_search
+
     opts = _build_options(args, args.reads1)
     index, didx = _load(args.index)
     total = PairSummary()
     with _writer(opts, index, opts.output_prefix) as w:
-        for b1, b2 in read_pairs(args.reads1, args.reads2,
-                                 opts.batch_size, opts.max_read_len):
+        # double-buffered batch loop: the next batch's device search runs
+        # while this batch's host post-processing/output happens
+        it = read_pairs(args.reads1, args.reads2,
+                        opts.batch_size, opts.max_read_len)
+        cur = next(it, None)
+        pending = dispatch_pair_search(didx, *cur, opts) if cur else None
+        while cur is not None:
+            b1, b2 = cur
+            nxt = next(it, None)
+            nxt_pending = dispatch_pair_search(didx, *nxt, opts) if nxt else None
             t0 = time.time()
-            s = align_pair_batch(index, didx, b1, b2, opts, w)
+            s = align_pair_batch(index, didx, b1, b2, opts, w,
+                                 pending_search=pending)
             total.add(s)
+            cur, pending = nxt, nxt_pending
             print(f"[soap3dp] batch: {s.num_pairs} pairs, "
                   f"{s.paired_bwt} BWT-paired, {s.paired_dp} DP-paired, "
                   f"{s.single_rescued} singly aligned, "

@@ -235,6 +235,79 @@ def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
     return hits
 
 
+class PendingSearch:
+    """Async seed search: the round-1 dispatch happens at construction
+    (the device works while the host does other things); `result()`
+    syncs, grows the compaction budget if needed, and runs round 2.
+
+    The TPU analog of the reference's GPU/CPU double buffering
+    (alignment.cu:554-561,1029-1033): dispatch batch i+1 before
+    post-processing batch i on the host.
+    """
+
+    def __init__(self, idx: DeviceIndex, reads, lens,
+                 cfg: SearchConfig = SearchConfig()):
+        self.idx = idx
+        self.cfg = cfg
+        self.reads = jnp.asarray(reads)
+        self.lens_h = np.asarray(lens).astype(np.int32)
+        self.lens = jnp.asarray(self.lens_h)
+        self.B, self.L = self.reads.shape
+        S = cfg.num_seeds
+        if self.B == 0:
+            return
+        max_len = int(self.lens_h.max())
+        min_len = int(self.lens_h.min())
+        self.min_seg = min_len // S
+        self.longest_seg = -(-max_len // S)
+        self.seed_q = min(default_seed_q(idx, cfg), self.longest_seg)
+        self.steps = _steps_for(idx, self.seed_q, min(self.min_seg, self.seed_q))
+        self.K = shapes.bucket(2 * self.B * S * 2, min_size=1024)
+        self.K_max = 2 * self.B * S * cfg.occ_cap
+        # async dispatch; no sync here
+        self._hits, self._total = _search_batch(
+            idx, self.reads, self.lens, cfg, cfg.occ_cap, self.steps,
+            self.seed_q, min(self.K, self.K_max))
+
+    def result(self) -> HitArrays:
+        cfg = self.cfg
+        B, S = self.B, self.cfg.num_seeds
+        if B == 0:
+            z = np.zeros(0, np.int32)
+            return HitArrays(row=z, tp=z.astype(np.uint32), nmis=z,
+                             valid=z.astype(bool), flagged=np.zeros(0, bool))
+        hits, K = self._hits, self.K
+        t = int(self._total)
+        while t > K and K < self.K_max:
+            K = min(shapes.bucket(t), self.K_max)
+            hits, total = _search_batch(
+                self.idx, self.reads, self.lens, cfg, cfg.occ_cap,
+                self.steps, self.seed_q, min(K, self.K_max))
+            t = int(total)
+        tb = min(shapes.bucket(t, min_size=1024), min(K, self.K_max))
+        if tb < hits.row.shape[0]:
+            hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
+                             nmis=hits.nmis[:tb], valid=hits.valid[:tb],
+                             flagged=hits.flagged)
+        flagged = np.asarray(hits.flagged)
+        if not flagged.any():
+            return hits
+
+        # round 2: full segments + bigger budget for the flagged reads
+        # only, padded to a power-of-two bucket for executable reuse.
+        sel = np.flatnonzero(flagged)
+        nb = min(shapes.bucket(len(sel), min_size=64), B)
+        reads_h = np.asarray(self.reads)
+        sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
+            if len(sel) < nb else sel[:nb]
+        steps2 = _steps_for(self.idx, self.longest_seg,
+                            min(self.min_seg, self.longest_seg))
+        hits2 = _run_compacted(self.idx, jnp.asarray(reads_h[sel_pad]),
+                               jnp.asarray(self.lens_h[sel_pad]), cfg,
+                               cfg.occ_cap_round2, steps2, 0, nb, S)
+        return _merge_round2(hits, hits2, sel, B, nb)
+
+
 def search_reads(
     idx: DeviceIndex,
     reads: np.ndarray | jax.Array,
@@ -250,40 +323,7 @@ def search_reads(
     like the reference's 0xFFFFFFFE "too many hits" sentinel
     (DV-Kernel.cu:4464-4486).
     """
-    reads = jnp.asarray(reads)
-    lens_h = np.asarray(lens).astype(np.int32)
-    lens = jnp.asarray(lens_h)
-    B, L = reads.shape
-    S = cfg.num_seeds
-    if B == 0:
-        z = np.zeros(0, np.int32)
-        return HitArrays(row=z, tp=z.astype(np.uint32), nmis=z,
-                         valid=z.astype(bool), flagged=np.zeros(0, bool))
-    max_len = int(lens_h.max()) if B else 0
-    min_len = int(lens_h.min()) if B else 0
-    min_seg = min_len // S
-    longest_seg = -(-max_len // S)
-
-    seed_q = min(default_seed_q(idx, cfg), longest_seg)
-    steps = _steps_for(idx, seed_q, min(min_seg, seed_q))
-    hits = _run_compacted(idx, reads, lens, cfg, cfg.occ_cap, steps, seed_q, B, S)
-    flagged = np.asarray(hits.flagged)
-    if not flagged.any():
-        return hits
-
-    # round 2: full segments + bigger budget for the flagged reads only.
-    # The subset is padded to a power-of-two bucket so repeated batches
-    # reuse the compiled executable.
-    sel = np.flatnonzero(flagged)
-    nb = min(shapes.bucket(len(sel), min_size=64), B)
-    reads_h = np.asarray(reads)
-    sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
-        if len(sel) < nb else sel[:nb]
-    steps2 = _steps_for(idx, longest_seg, min(min_seg, longest_seg))
-    hits2 = _run_compacted(idx, jnp.asarray(reads_h[sel_pad]),
-                           jnp.asarray(lens_h[sel_pad]), cfg,
-                           cfg.occ_cap_round2, steps2, 0, nb, S)
-    return _merge_round2(hits, hits2, sel, B, nb)
+    return PendingSearch(idx, reads, lens, cfg).result()
 
 
 def _merge_round2(h1: HitArrays, h2: HitArrays, sel: np.ndarray, B: int,

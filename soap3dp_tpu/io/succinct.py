@@ -33,6 +33,9 @@ MAGIC = b"T3G1"
 
 
 class SuccinctWriter:
+    needs_seq = False   # succinct records carry no SEQ/QUAL
+    needs_tags = False  # only NM is stored; emitters skip tag strings
+
     def __init__(self, path, index: Index, **_kw):
         self._fh = open(path, "wb")
         self._fh.write(MAGIC)

@@ -143,6 +143,7 @@ def align_pair_batch(
     b2: ReadBatch,
     opts: AlignOptions,
     writer: SamWriter,
+    pending_search=None,
 ) -> PairSummary:
     B = len(b1)
     summary = PairSummary(num_pairs=B)
@@ -159,7 +160,8 @@ def align_pair_batch(
     else:
         cfg = SearchConfig(k=k)
         with timers.stage("A.search"):
-            h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg)
+            h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg,
+                                       pending=pending_search)
         with timers.stage("A.tables"):
             t1 = hits.hits_to_table(h1, B, index, lens1)
             t2 = hits.hits_to_table(h2, B, index, lens2)
@@ -215,7 +217,31 @@ def align_pair_batch(
     return summary
 
 
-def _search_both_ends(didx, b1, b2, lens1, lens2, cfg):
+def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):
+    """Async-dispatch the combined both-ends search for a pair batch.
+
+    The TPU analog of the reference's double-buffered batch loop
+    (alignment.cu:554-561): call this for batch i+1 before doing batch
+    i's host work, then hand the pending object to align_pair_batch.
+    """
+    from soap3dp_tpu.fm.search import PendingSearch
+
+    lens1 = b1.lens.astype(np.int32)
+    lens2 = b2.lens.astype(np.int32)
+    B = len(b1)
+    max_len = int(max(lens1.max() if B else 0, lens2.max() if B else 0))
+    cfg = SearchConfig(k=opts.effective_mismatches(max_len))
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+
+    def pad(c):
+        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+
+    reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
+    lens_all = np.concatenate([lens1, lens2])
+    return PendingSearch(didx, reads_all, lens_all, cfg)
+
+
+def _search_both_ends(didx, b1, b2, lens1, lens2, cfg, pending=None):
     """One device search over both ends (2B reads): halves the dispatch
     and D2H-latency count vs per-end searches, then splits the flat hit
     arrays back into per-end HitArrays on the host."""
@@ -227,9 +253,12 @@ def _search_both_ends(didx, b1, b2, lens1, lens2, cfg):
     def pad(c):
         return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
 
-    reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
-    lens_all = np.concatenate([lens1, lens2])
-    h = search_reads(didx, reads_all, lens_all, cfg)
+    if pending is None:
+        reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
+        lens_all = np.concatenate([lens1, lens2])
+        h = search_reads(didx, reads_all, lens_all, cfg)
+    else:
+        h = pending.result()
     row, tp, nm, va, flagged = h.to_host()
     B2 = 2 * B
     strand = (row >= B2) & va
@@ -315,6 +344,7 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
     f2 = (base | sam.FLAG_SECOND | np.where(s2 == 1, sam.FLAG_REVERSE, 0)
           | np.where(s1 == 1, sam.FLAG_MATE_REVERSE, 0))
 
+    needs_tags = getattr(writer, "needs_tags", True) or opts.output_md
     # how many hits the mode reports per pair (alternates -> slow path)
     if mode == opt.OUTPUT_ALL_VALID:
         n_sel = np.minimum(n_total, opts.max_output_per_pair)
@@ -339,20 +369,24 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
             _emit_unmapped_pair(writer, b1, b2, b)
             continue
         rl1, rl2 = int(lens1[b]), int(lens2[b])
-        tags1 = [f"X0:i:{x01}", f"X1:i:{x11}", f"XM:i:{nm1}", "XO:i:0",
-                 "XG:i:0"]
-        tags2 = [f"X0:i:{x02}", f"X1:i:{x12}", f"XM:i:{nm2}", "XO:i:0",
-                 "XG:i:0"]
+        if needs_tags:
+            tags1 = [f"X0:i:{x01}", f"X1:i:{x11}", f"XM:i:{nm1}", "XO:i:0",
+                     "XG:i:0"]
+            tags2 = [f"X0:i:{x02}", f"X1:i:{x12}", f"XM:i:{nm2}", "XO:i:0",
+                     "XG:i:0"]
+        else:
+            tags1 = []
+            tags2 = []
         if sl:
             _slow_pair_tags(index, b1, b2, b, t1, t2, combos, pr, first,
                             paired, nsel, tags1, tags2, rl1, rl2, opts)
         writer.write(SamRecord(
             qname=b1.names[b], flag=fl1, chrom=ch1, pos=of1, mapq=m1,
-            cigar=f"{rl1}M", seq=_seq_bytes(b1, b), qual=_qual_bytes(b1, b),
+            cigar=f"{rl1}M", seq=_seq_bytes(b1, b, writer), qual=_qual_bytes(b1, b, writer),
             mate_chrom=ch2, mate_pos=of2, tlen=tlb, tags=tags1))
         writer.write(SamRecord(
             qname=b2.names[b], flag=fl2, chrom=ch2, pos=of2, mapq=m2,
-            cigar=f"{rl2}M", seq=_seq_bytes(b2, b), qual=_qual_bytes(b2, b),
+            cigar=f"{rl2}M", seq=_seq_bytes(b2, b, writer), qual=_qual_bytes(b2, b, writer),
             mate_chrom=ch1, mate_pos=of1, tlen=-tlb, tags=tags2))
 
 
@@ -433,13 +467,13 @@ def emit_pair(writer, b1, b2, b, e1: EndInfo, e2: EndInfo, proper: bool):
         t1 = t2 = 0
     writer.write(SamRecord(
         qname=b1.names[b], flag=f1, chrom=e1.chrom, pos=e1.pos,
-        mapq=e1.mapq, cigar=e1.cigar, seq=_seq_bytes(b1, b),
-        qual=_qual_bytes(b1, b), mate_chrom=e2.chrom, mate_pos=e2.pos,
+        mapq=e1.mapq, cigar=e1.cigar, seq=_seq_bytes(b1, b, writer),
+        qual=_qual_bytes(b1, b, writer), mate_chrom=e2.chrom, mate_pos=e2.pos,
         tlen=t1, tags=e1.tags))
     writer.write(SamRecord(
         qname=b2.names[b], flag=f2, chrom=e2.chrom, pos=e2.pos,
-        mapq=e2.mapq, cigar=e2.cigar, seq=_seq_bytes(b2, b),
-        qual=_qual_bytes(b2, b), mate_chrom=e1.chrom, mate_pos=e1.pos,
+        mapq=e2.mapq, cigar=e2.cigar, seq=_seq_bytes(b2, b, writer),
+        qual=_qual_bytes(b2, b, writer), mate_chrom=e1.chrom, mate_pos=e1.pos,
         tlen=t2, tags=e2.tags))
 
 
@@ -447,10 +481,10 @@ def _emit_unmapped_pair(writer, b1, b2, b):
     f = sam.FLAG_PAIRED | sam.FLAG_UNMAPPED | sam.FLAG_MATE_UNMAPPED
     writer.write(SamRecord(
         qname=b1.names[b], flag=f | sam.FLAG_FIRST, chrom=-1, pos=-1,
-        mapq=0, cigar="", seq=_seq_bytes(b1, b), qual=_qual_bytes(b1, b)))
+        mapq=0, cigar="", seq=_seq_bytes(b1, b, writer), qual=_qual_bytes(b1, b, writer)))
     writer.write(SamRecord(
         qname=b2.names[b], flag=f | sam.FLAG_SECOND, chrom=-1, pos=-1,
-        mapq=0, cigar="", seq=_seq_bytes(b2, b), qual=_qual_bytes(b2, b)))
+        mapq=0, cigar="", seq=_seq_bytes(b2, b, writer), qual=_qual_bytes(b2, b, writer)))
 
 
 # ------------------------------------------------------------------
@@ -766,8 +800,8 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
                     flag |= sam.FLAG_MATE_UNMAPPED
                 writer.write(SamRecord(
                     qname=batch.names[b], flag=flag, chrom=-1, pos=-1,
-                    mapq=0, cigar="", seq=_seq_bytes(batch, b),
-                    qual=_qual_bytes(batch, b),
+                    mapq=0, cigar="", seq=_seq_bytes(batch, b, writer),
+                    qual=_qual_bytes(batch, b, writer),
                     mate_chrom=mate_got.chrom if mate_got else -1,
                     mate_pos=mate_got.pos if mate_got else 0))
             else:
@@ -779,7 +813,7 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
                 writer.write(SamRecord(
                     qname=batch.names[b], flag=flag, chrom=got.chrom,
                     pos=got.pos, mapq=got.mapq, cigar=got.cigar,
-                    seq=_seq_bytes(batch, b), qual=_qual_bytes(batch, b),
+                    seq=_seq_bytes(batch, b, writer), qual=_qual_bytes(batch, b, writer),
                     mate_chrom=mate_got.chrom if mate_got else -1,
                     mate_pos=mate_got.pos if mate_got else 0,
                     tags=got.tags))

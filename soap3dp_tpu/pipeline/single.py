@@ -39,13 +39,19 @@ class BatchSummary:
             setattr(self, f.name, getattr(self, f.name) + getattr(other, f.name))
 
 
-def _qual_bytes(batch: ReadBatch, b: int) -> bytes | None:
+def _qual_bytes(batch: ReadBatch, b: int, writer=None) -> bytes | None:
+    """Raw qualities — skipped when the output format ignores them
+    (succinct binary does; decoding per record costs real time)."""
+    if writer is not None and not getattr(writer, "needs_seq", True):
+        return None
     if batch.quals is None:
         return None
     return batch.quals[b, : batch.lens[b]].tobytes()
 
 
-def _seq_bytes(batch: ReadBatch, b: int) -> bytes:
+def _seq_bytes(batch: ReadBatch, b: int, writer=None) -> bytes:
+    if writer is not None and not getattr(writer, "needs_seq", True):
+        return b"*"
     return dna.decode(batch.codes[b, : batch.lens[b]])
 
 
@@ -104,8 +110,8 @@ def align_single_batch(
     for b in np.flatnonzero(~emitted):
         writer.write(SamRecord(
             qname=batch.names[b], flag=sam.FLAG_UNMAPPED, chrom=-1, pos=-1,
-            mapq=0, cigar="", seq=_seq_bytes(batch, b),
-            qual=_qual_bytes(batch, b)))
+            mapq=0, cigar="", seq=_seq_bytes(batch, b, writer),
+            qual=_qual_bytes(batch, b, writer)))
         summary.unaligned += 1
         summary.num_records += 1
     return summary
@@ -152,8 +158,8 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
             qname=batch.names[b],
             flag=sam.FLAG_REVERSE if strand else 0,
             chrom=ch, pos=of, mapq=m,
-            cigar=f"{rlen}M", seq=_seq_bytes(batch, b),
-            qual=_qual_bytes(batch, b), tags=tags))
+            cigar=f"{rlen}M", seq=_seq_bytes(batch, b, writer),
+            qual=_qual_bytes(batch, b, writer), tags=tags))
 
 
 def writer_name(index: Index, chrom: int) -> bytes:
@@ -211,7 +217,7 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
             res.score[rows[1]] if len(rows) > 1 else 0,
             int(opts.dp_cutoff(rlen)), opts.max_mapq, opts.min_mapq,
             opts.bwa_like_score)[()])
-        rec = _dp_record(index, batch, res, rows, b, mq, x0, x1, opts)
+        rec = _dp_record(index, batch, res, rows, b, mq, x0, x1, opts, writer)
         writer.write(rec)
         aligned_reads.append(b)
     return np.asarray(aligned_reads, int)
@@ -221,7 +227,7 @@ def dp_margin_scalar(rlen: int) -> int:
     return rlen >> 2 if rlen > 100 else 25
 
 
-def _dp_record(index, batch, res, rows, b, mq, x0, x1, opts) -> SamRecord:
+def _dp_record(index, batch, res, rows, b, mq, x0, x1, opts, writer=None) -> SamRecord:
     i = rows[0]
     strand = int(res.strand[i])
     rlen = int(batch.lens[b])
@@ -251,7 +257,7 @@ def _dp_record(index, batch, res, rows, b, mq, x0, x1, opts) -> SamRecord:
         qname=batch.names[b],
         flag=sam.FLAG_REVERSE if strand else 0,
         chrom=int(chrom[0]), pos=int(off[0]), mapq=mq, cigar=cigar,
-        seq=_seq_bytes(batch, b), qual=_qual_bytes(batch, b), tags=tags)
+        seq=_seq_bytes(batch, b, writer), qual=_qual_bytes(batch, b, writer), tags=tags)
 
 
 def _genome_codes(index: Index, start: int, length: int) -> np.ndarray:
