@@ -48,12 +48,14 @@ def run_single(args) -> int:
     from soap3dp_tpu.io.fastq import read_single
     from soap3dp_tpu.pipeline.single import BatchSummary, align_single_batch
 
+    from soap3dp_tpu.io.aio import prefetch
+
     opts = _build_options(args, args.reads)
     index, didx = _load(args.index)
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
-        for batch in read_single(args.reads, opts.batch_size,
-                                 opts.max_read_len):
+        for batch in prefetch(read_single(args.reads, opts.batch_size,
+                                          opts.max_read_len)):
             t0 = time.time()
             s = align_single_batch(index, didx, batch, opts, w)
             total.add(s)
@@ -77,9 +79,12 @@ def run_pair(args) -> int:
     total = PairSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         # double-buffered batch loop: the next batch's device search runs
-        # while this batch's host post-processing/output happens
-        it = read_pairs(args.reads1, args.reads2,
-                        opts.batch_size, opts.max_read_len)
+        # while this batch's host post-processing/output happens; a
+        # reader thread prefetches/parses input batches (AIO analog)
+        from soap3dp_tpu.io.aio import prefetch
+
+        it = prefetch(read_pairs(args.reads1, args.reads2,
+                                 opts.batch_size, opts.max_read_len))
         cur = next(it, None)
         pending = dispatch_pair_search(didx, *cur, opts) if cur else None
         while cur is not None:

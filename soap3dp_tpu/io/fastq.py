@@ -127,8 +127,37 @@ def _make_batch(names, seqs, quals, max_len, warn_state) -> ReadBatch:
     return ReadBatch(names=names, codes=codes, lens=lens, quals=qmat)
 
 
+def _use_native(path) -> bool:
+    if os.environ.get("SOAP3DP_NO_NATIVE"):
+        return False
+    if not isinstance(path, (str, os.PathLike)):
+        return False
+    from soap3dp_tpu.io import fastq_native
+
+    return fastq_native.available()
+
+
+def _native_batches(path, batch_size, max_len) -> Iterator[ReadBatch]:
+    from soap3dp_tpu.io.fastq_native import NativeReader
+
+    rd = NativeReader(os.fspath(path), batch_size, max_len)
+    try:
+        while True:
+            got = rd.next_batch()
+            if got is None:
+                return
+            names, codes, lens, quals = got
+            yield ReadBatch(names=names, codes=codes, lens=lens, quals=quals)
+    finally:
+        rd.close()
+
+
 def read_single(path, batch_size: int = 1 << 17, max_len: int = 128) -> Iterator[ReadBatch]:
-    """Batches of single-end reads."""
+    """Batches of single-end reads (native C++ parser when available,
+    the analog of the reference's QueryParser)."""
+    if _use_native(path):
+        yield from _native_batches(path, batch_size, max_len)
+        return
     yield from _batchify(_iter_records(path), batch_size, max_len)
 
 
@@ -136,8 +165,12 @@ def read_pairs(path1, path2=None, batch_size: int = 1 << 16, max_len: int = 128
                ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
     """Batches of read pairs: two files in lockstep, or one interleaved file."""
     if path2 is not None:
-        it1 = _batchify(_iter_records(path1), batch_size, max_len)
-        it2 = _batchify(_iter_records(path2), batch_size, max_len)
+        if _use_native(path1) and _use_native(path2):
+            it1 = _native_batches(path1, batch_size, max_len)
+            it2 = _native_batches(path2, batch_size, max_len)
+        else:
+            it1 = _batchify(_iter_records(path1), batch_size, max_len)
+            it2 = _batchify(_iter_records(path2), batch_size, max_len)
         for b1, b2 in zip(it1, it2):
             if len(b1) != len(b2):
                 raise ValueError("paired read files have different lengths")

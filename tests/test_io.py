@@ -130,3 +130,75 @@ def test_mapq_reference_values():
     assert (m0, m1) == (60, 60)  # 37+37 capped
     m0, m1 = mapq.bwa_like_pair(2, 0, 1, 0, 195, 1, 0, 0, 100, 100)
     assert m0 == min(29 + 7, 37) and m1 == 37
+
+
+def test_native_reader_matches_python(tmp_path):
+    """The C++ QueryParser analog must produce identical batches."""
+    import gzip as gz
+    import numpy as np
+    from soap3dp_tpu.io import fastq, fastq_native
+
+    if not fastq_native.available():
+        import pytest
+        pytest.skip("no native reader (g++/zlib unavailable)")
+    fq = tmp_path / "r.fq"
+    rng = np.random.default_rng(2)
+    recs = []
+    with open(fq, "w") as f:
+        for i in range(533):
+            L = int(rng.integers(20, 90))
+            s = "".join("ACGTN"[c] for c in rng.integers(0, 5, L))
+            q = "".join(chr(33 + int(x)) for x in rng.integers(0, 40, L))
+            f.write(f"@read{i} extra stuff\n{s}\n+\n{q}\n")
+            recs.append((f"read{i}".encode(), s, q))
+    # also gzip variant
+    fqgz = tmp_path / "r.fq.gz"
+    with gz.open(fqgz, "wb") as f:
+        f.write(open(fq, "rb").read())
+
+    for path in (fq, fqgz):
+        import os
+        os.environ["SOAP3DP_NO_NATIVE"] = "1"
+        py = list(fastq.read_single(str(path), batch_size=100, max_len=96))
+        del os.environ["SOAP3DP_NO_NATIVE"]
+        nat = list(fastq.read_single(str(path), batch_size=100, max_len=96))
+        assert sum(len(b) for b in nat) == 533
+        for bp, bn in zip(py, nat):
+            assert bp.names == bn.names
+            assert np.array_equal(bp.codes, bn.codes)
+            assert np.array_equal(bp.lens, bn.lens)
+            assert np.array_equal(bp.quals, bn.quals)
+
+
+def test_native_reader_fasta(tmp_path):
+    import numpy as np
+    from soap3dp_tpu.io import fastq, fastq_native
+
+    if not fastq_native.available():
+        import pytest
+        pytest.skip("no native reader")
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        f.write(">a desc\nACGT\nACGT\n>b\nTTTT\n")
+    batches = list(fastq.read_single(str(fa), batch_size=10, max_len=16))
+    b = batches[0]
+    assert b.names == [b"a", b"b"]
+    assert b.lens.tolist() == [8, 4]
+    assert b.quals is None
+    assert bytes(b.codes[0, :8]) == bytes([0, 1, 2, 3, 0, 1, 2, 3])
+
+
+def test_prefetch_iterator():
+    from soap3dp_tpu.io.aio import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    import pytest
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
