@@ -127,6 +127,45 @@ def _make_batch(names, seqs, quals, max_len, warn_state) -> ReadBatch:
     return ReadBatch(names=names, codes=codes, lens=lens, quals=qmat)
 
 
+def _batchify_precoded(records, batch_size: int, max_len: int
+                       ) -> Iterator[ReadBatch]:
+    """Batch (name, codes, qual) records that are already 2-bit coded
+    (the BAM input path)."""
+    names: list[bytes] = []
+    rows: list[np.ndarray] = []
+    quals: list[bytes] = []
+    has_qual = True
+
+    def flush():
+        B = len(names)
+        codes = np.zeros((B, max_len), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, r in enumerate(rows):
+            L = min(len(r), max_len)
+            codes[i, :L] = r[:L]
+            lens[i] = L
+        qm = None
+        if has_qual and quals:
+            qm = np.zeros((B, max_len), np.uint8)
+            for i, q in enumerate(quals):
+                L = min(len(q), max_len)
+                qm[i, :L] = np.frombuffer(q[:L], np.uint8)
+        return ReadBatch(names=list(names), codes=codes, lens=lens, quals=qm)
+
+    for name, codes, qual in records:
+        names.append(name)
+        rows.append(codes)
+        if qual is None:
+            has_qual = False
+        else:
+            quals.append(qual)
+        if len(names) == batch_size:
+            yield flush()
+            names, rows, quals = [], [], []
+    if names:
+        yield flush()
+
+
 def _use_native(path) -> bool:
     if os.environ.get("SOAP3DP_NO_NATIVE"):
         return False
@@ -154,7 +193,14 @@ def _native_batches(path, batch_size, max_len) -> Iterator[ReadBatch]:
 
 def read_single(path, batch_size: int = 1 << 17, max_len: int = 128) -> Iterator[ReadBatch]:
     """Batches of single-end reads (native C++ parser when available,
-    the analog of the reference's QueryParser)."""
+    the analog of the reference's QueryParser). BAM input is decoded
+    natively (loadBAMReads analog, QueryParser.cpp:996)."""
+    from soap3dp_tpu.io import bamread
+
+    if isinstance(path, (str, os.PathLike)) and bamread.is_bam(path):
+        yield from _batchify_precoded(bamread.iter_bam_reads(path),
+                                      batch_size, max_len)
+        return
     if _use_native(path):
         yield from _native_batches(path, batch_size, max_len)
         return
@@ -163,7 +209,26 @@ def read_single(path, batch_size: int = 1 << 17, max_len: int = 128) -> Iterator
 
 def read_pairs(path1, path2=None, batch_size: int = 1 << 16, max_len: int = 128
                ) -> Iterator[tuple[ReadBatch, ReadBatch]]:
-    """Batches of read pairs: two files in lockstep, or one interleaved file."""
+    """Batches of read pairs: two files in lockstep, or one interleaved
+    file (FASTA/FASTQ/gzip/BAM; BAM mates must be adjacent)."""
+    from soap3dp_tpu.io import bamread
+
+    if (path2 is None and isinstance(path1, (str, os.PathLike))
+            and bamread.is_bam(path1)):
+        single = _batchify_precoded(bamread.iter_bam_reads(path1),
+                                    2 * batch_size, max_len)
+        for b in single:
+            if len(b) % 2:
+                raise ValueError("interleaved BAM has an odd number of reads")
+            sel1 = np.arange(0, len(b), 2)
+            sel2 = sel1 + 1
+            yield (ReadBatch([b.names[i] for i in sel1], b.codes[sel1],
+                             b.lens[sel1],
+                             b.quals[sel1] if b.quals is not None else None),
+                   ReadBatch([b.names[i] for i in sel2], b.codes[sel2],
+                             b.lens[sel2],
+                             b.quals[sel2] if b.quals is not None else None))
+        return
     if path2 is not None:
         if _use_native(path1) and _use_native(path2):
             it1 = _native_batches(path1, batch_size, max_len)

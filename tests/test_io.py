@@ -202,3 +202,37 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_bam_roundtrip(tmp_path, small_index):
+    """BamWriter output decodes back through the BAM reader (and
+    read_single/read_pairs route BAM automatically)."""
+    import numpy as np
+    from soap3dp_tpu.io import bamread, fastq
+    from soap3dp_tpu.io.sam import SamRecord, FLAG_REVERSE
+    from soap3dp_tpu.io.succinct import BamWriter
+
+    path = tmp_path / "t.bam"
+    w = BamWriter(str(path), small_index)
+    seqs = [b"ACGTACGTAA", b"TTGCAGGTCA", b"GGGTTTACCA", b"CATCATCATC"]
+    for i, s in enumerate(seqs):
+        flag = FLAG_REVERSE if i == 1 else 0
+        w.write(SamRecord(qname=b"q%d" % i, flag=flag, chrom=0, pos=10 * i,
+                          mapq=37, cigar=f"{len(s)}M", seq=s,
+                          qual=b"I" * len(s)))
+    w.close()
+    assert bamread.is_bam(path)
+    got = list(bamread.iter_bam_reads(path))
+    assert [g[0] for g in got] == [b"q0", b"q1", b"q2", b"q3"]
+    from soap3dp_tpu.utils import dna
+    for (name, codes, qual), s in zip(got, seqs):
+        # writer stores reverse-strand reads revcomped; reader flips back
+        assert dna.decode(codes) == s
+        assert qual == b"I" * len(s)
+    # batch APIs route BAM automatically
+    batches = list(fastq.read_single(str(path), batch_size=3, max_len=16))
+    assert sum(len(b) for b in batches) == 4
+    prs = list(fastq.read_pairs(str(path), None, batch_size=2, max_len=16))
+    assert sum(len(b1) for b1, _ in prs) == 2
+    b1, b2 = prs[0]
+    assert b1.names[0] == b"q0" and b2.names[0] == b"q1"
