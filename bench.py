@@ -39,7 +39,7 @@ def get_index():
     from soap3dp_tpu.index.packing import PackedGenome
     from soap3dp_tpu.utils import dna
 
-    path = os.path.join(CACHE, f"synth{GENOME_BP}.sa1.t3i")
+    path = os.path.join(CACHE, f"synth{GENOME_BP}.sa1k14.t3i")
     codes_path = os.path.join(CACHE, f"synth{GENOME_BP}.codes.npy")
     if os.path.exists(os.path.join(path, "meta.json")):
         return load_index(path), np.load(codes_path, mmap_mode="r")
@@ -53,7 +53,8 @@ def get_index():
         codes=codes, pac=dna.pack_codes(codes), length=GENOME_BP,
         names=["synth1"], offsets=np.asarray([0, GENOME_BP], np.uint64),
         amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    index = build_index(genome, sa_rate=1, lut_k=13)
+    # lut_k=14: 4^14 >= 40M, so round-1 seeding is LUT-only (no FM steps)
+    index = build_index(genome, sa_rate=1, lut_k=14)
     save_index(index, path)
     np.save(codes_path, codes)
     print(f"[bench] index built in {time.time() - t0:.0f}s", file=sys.stderr)

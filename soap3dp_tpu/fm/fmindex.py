@@ -179,6 +179,22 @@ def backward_search(
     return l, r
 
 
+def rolling_kmer_codes(seqs: jax.Array, k: int) -> jax.Array:
+    """(B, L) codes -> (B, L) uint32 MSB-first k-mer code starting at
+    each position (positions past L-k hold garbage; callers clamp).
+
+    Sequential shift-adds only — the LUT-only seed path uses this to
+    avoid materializing per-lane seed characters."""
+    B, L = seqs.shape
+    s32 = seqs.astype(jnp.uint32)
+    km = jnp.zeros((B, L), jnp.uint32)
+    for j in range(k):
+        shifted = jnp.concatenate(
+            [s32[:, j:], jnp.zeros((B, j), jnp.uint32)], axis=1)
+        km = km | (shifted << jnp.uint32(2 * (k - 1 - j)))
+    return km
+
+
 # ------------------------------------------------------------------
 # SA decode: row -> text position
 # ------------------------------------------------------------------

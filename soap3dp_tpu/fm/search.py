@@ -135,13 +135,22 @@ def _search_batch(
     # (R, S) seed segments -> flat (R*S,) search lanes
     sstart, slen = _seed_bounds(olens, S, seed_q)
     seq_rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
-    l, r = fmindex.backward_search(
-        idx,
-        oriented[seq_rows],
-        sstart.reshape(-1),
-        slen.reshape(-1),
-        max_steps=max_seed_steps,
-    )
+    if seed_q == idx.lut_k and max_seed_steps == 0:
+        # LUT-only seeds: the whole FM extension collapses to one
+        # table lookup per lane — no occ gathers at all
+        km = fmindex.rolling_kmer_codes(oriented, idx.lut_k)
+        m = jnp.take_along_axis(km, jnp.clip(sstart, 0, L - 1), axis=1)
+        m = m.reshape(-1).astype(jnp.int32)
+        l = idx.lut_lo[m]
+        r = idx.lut_hi[m]
+    else:
+        l, r = fmindex.backward_search(
+            idx,
+            oriented[seq_rows],
+            sstart.reshape(-1),
+            slen.reshape(-1),
+            max_steps=max_seed_steps,
+        )
     width = r - l
     overflow = width > U32(cap)
     flagged = overflow.reshape(B * 2, S).any(axis=1)
@@ -198,10 +207,16 @@ def _search_batch(
 
 def default_seed_q(idx: DeviceIndex, cfg: SearchConfig) -> int:
     """Genome-size-scaled seed prefix length: enough specificity that the
-    expected random-hit count per seed stays ~O(1)."""
+    expected random-hit count per seed stays ~O(1).
+
+    When the LUT is at least as specific as the genome needs
+    (4^lut_k >= n), use exactly lut_k so the seed search is LUT-only
+    (zero FM extension steps)."""
     n = int(np.asarray(idx.n))
-    q = int(np.ceil(np.log2(max(n, 4)) / 2)) + cfg.seed_slack
-    return max(q, idx.lut_k)
+    log4n = int(np.ceil(np.log2(max(n, 4)) / 2))
+    if idx.lut_k >= log4n:
+        return idx.lut_k
+    return max(log4n + cfg.seed_slack, idx.lut_k)
 
 
 def _steps_for(idx: DeviceIndex, seed_q: int, min_seg: int) -> int:

@@ -67,10 +67,11 @@ def cigar_read_span(cigar: str) -> int:
 
 
 @pytest.fixture(scope="module")
-def planted(small_genome, rng):
+def planted(small_genome):
     codes = small_genome.codes
     L = 50
-    pos = rng.integers(100, len(codes) - 200, size=8)
+    # dedicated rng: planted positions must not depend on test order
+    pos = np.random.default_rng(777).integers(100, len(codes) - 200, size=8)
     return codes, L, pos
 
 
