@@ -67,7 +67,6 @@ def _shift(v):
         [jnp.full(v.shape[:-1] + (1,), NEG_BIG, v.dtype), v[..., :-1]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("sc",))
 def dp_forward(
     reads: jax.Array,    # (P, Lr) uint8 codes
     rlens: jax.Array,    # (P,) int32
@@ -86,7 +85,36 @@ def dp_forward(
     consumed = hit_j). count = number of eligible cells achieving the
     best score (the reference's maxScoreCount). dirs has shape
     (Lr+Lw, P, Lr+1) uint8 — direction byte of each cell, diag-major.
+
+    Dispatches to the Pallas TPU kernel (DP state held in VMEM, one
+    problem tile per grid step) when shapes allow; falls back to the
+    lax.scan implementation otherwise (CPU tests, long reads).
     """
+    import os
+
+    P, Lr = reads.shape
+    if (Lr + 1 <= 128 and P % PALLAS_P_TILE == 0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("SOAP3DP_NO_PALLAS")):
+        return _dp_forward_pallas_call(reads, rlens, wins, wlens, clip_l,
+                                       clip_r, anchor_l, anchor_r, sc)
+    return _dp_forward_scan(reads, rlens, wins, wlens, clip_l, clip_r,
+                            anchor_l, anchor_r, sc)
+
+
+@partial(jax.jit, static_argnames=("sc",))
+def _dp_forward_scan(
+    reads: jax.Array,
+    rlens: jax.Array,
+    wins: jax.Array,
+    wlens: jax.Array,
+    clip_l: jax.Array,
+    clip_r: jax.Array,
+    anchor_l: jax.Array,
+    anchor_r: jax.Array,
+    sc: DPScores = DPScores(),
+):
+    """lax.scan reference implementation of dp_forward."""
     P, Lr = reads.shape
     Lw = wins.shape[1]
     m, mm, go, ge, gi = sc.match, sc.mismatch, sc.gap_open, sc.gap_ext, sc.gap_init
@@ -189,6 +217,180 @@ def dp_forward(
         step, (h0, hm1, d0, i0, chars0, best0), ds)
     bS, bJ, bI, bC = best
     return bS, bI, bJ, bC, dirs
+
+
+PALLAS_P_TILE = 64  # problems per grid step (u8 dirs tile wants >= 32 sublanes)
+
+
+def _dp_forward_pallas_kernel(params_ref, reads_ref, wins_ref,
+                              dirs_ref, stats_ref, *, sc: DPScores, ND: int,
+                              Lw: int):
+    """One problem tile: the full anti-diagonal DP with all state in VMEM.
+
+    Same cell recurrences, tie-breaks and direction encoding as
+    _dp_forward_scan (the executable spec); the win is that H/D/I/chars
+    never round-trip to HBM between diagonals and the dirs tensor is
+    written tile-local.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PT, Lr1 = reads_ref.shape
+    m, mm, go, ge, gi = sc.match, sc.mismatch, sc.gap_open, sc.gap_ext, sc.gap_init
+    i_vec = jax.lax.broadcasted_iota(jnp.int32, (PT, Lr1), 1)
+    rlens = params_ref[:, 0:1]
+    wlens = params_ref[:, 1:2]
+    clip_l = params_ref[:, 2:3]
+    clip_r = params_ref[:, 3:4]
+    anchor_l = params_ref[:, 4:5]
+    anchor_r = params_ref[:, 5:6]
+    reads_pad = reads_ref[:]                       # (PT, Lr1) int32
+    wins_all = wins_ref[:]                         # (PT, Lw) int32
+    wlane = jax.lax.broadcasted_iota(jnp.int32, wins_all.shape, 1)
+
+    col0_raw = jnp.where(i_vec == 0, 0,
+                         jnp.where(i_vec <= clip_l, go,
+                                   gi + ge * (i_vec - jnp.minimum(clip_l, i_vec))))
+    col0_H = _clamp(col0_raw)
+    col0_D = _clamp(col0_raw + gi)
+
+    is_lane0 = i_vec == 0
+    # zf forces the loop-carry inits into full (non-replicated) vector
+    # layouts; Mosaic cannot relayout the back-edge values into the
+    # replicated layouts constant inits would otherwise get
+    # runtime-zero that the compiler cannot fold away (rlens >= 0,
+    # i_vec >= 0, so min(.,0) == 0), forcing full vector layouts
+    zf = jnp.minimum(i_vec + rlens, 0)
+    h0 = jnp.where(is_lane0, 0, NEG_BIG) + zf
+    d0 = jnp.where(is_lane0, _clamp(jnp.int32(gi)), NEG_BIG) + zf
+    i0 = jnp.full((PT, Lr1), NEG_BIG, jnp.int32) + zf
+    hm1 = jnp.full((PT, Lr1), NEG_BIG, jnp.int32) + zf
+    chars0 = jnp.full((PT, Lr1), -1, jnp.int32) + zf
+    zf1 = jnp.minimum(rlens, 0)
+    best0 = (jnp.full((PT, 1), NEG, jnp.int32) + zf1, zf1, zf1, zf1)
+
+    def step(dm1, carry):
+        H1, H2, D1, I1, chars, (bS, bJ, bI, bC) = carry
+        d = dm1 + 1
+        j_vec = d - i_vec
+        # dynamic single-lane reads aren't vectorizable on TPU; a one-hot
+        # select over the window lanes is
+        wsel = jnp.minimum(dm1, Lw - 1)
+        newc = jnp.where(wlane == wsel, wins_all, 0).sum(axis=1, keepdims=True)
+        chars = jnp.where(is_lane0, newc, pltpu.roll(chars, 1, axis=1))
+
+        init_j = jnp.where(j_vec < anchor_l, 0, NEG)
+        init_jm1 = jnp.where(j_vec - 1 < anchor_l, 0, NEG)
+        fresh_ok = (i_vec - 1) <= clip_l
+        dist = jnp.where(chars == reads_pad, m, mm)
+
+        d_open = go + H1
+        d_ext = ge + D1
+        D_new = _clamp(jnp.maximum(d_open, d_ext))
+        dD = (d_ext > d_open).astype(jnp.int32)
+
+        def shift(v):
+            return jnp.where(is_lane0, NEG_BIG, pltpu.roll(v, 1, axis=1))
+
+        H1s, I1s, H2s = shift(H1), shift(I1), shift(H2)
+        i_fresh = jnp.where(fresh_ok, init_j + go, NEG_BIG)
+        i_open = go + H1s
+        i_ext = ge + I1s
+        I_new = _clamp(jnp.maximum(i_fresh, jnp.maximum(i_open, i_ext)))
+        dI = jnp.where(I_new == i_fresh, DI_FRESH,
+                       jnp.where(I_new == i_open, DI_OPEN, DI_EXT))
+
+        diag_true = dist + H2s
+        diag_fresh = jnp.where(fresh_ok, init_jm1 + dist, NEG_BIG)
+        H_new = _clamp(jnp.maximum(jnp.maximum(diag_true, diag_fresh),
+                                   jnp.maximum(D_new, I_new)))
+        dH = jnp.where(H_new == diag_true, DH_DIAG,
+                       jnp.where((H_new == d_open) | (H_new == d_ext), DH_D,
+                                 jnp.where(H_new == diag_fresh, DH_SM, DH_I)))
+
+        on_col0 = i_vec == d
+        H_new = jnp.where(on_col0, col0_H, H_new)
+        D_new = jnp.where(on_col0, col0_D, D_new)
+        I_new = jnp.where(on_col0, NEG_BIG, I_new)
+        lane0_init = init_j * is_lane0.astype(jnp.int32)  # init_j at lane 0
+        H_new = jnp.where(is_lane0, _clamp(init_j), H_new)
+        D_new = jnp.where(is_lane0, NEG_BIG, D_new)
+        I_new = jnp.where(is_lane0, _clamp(init_j + gi), I_new)
+        del lane0_init
+
+        byte = (dH | (dD << 2) | (dI << 3)
+                | ((chars == reads_pad).astype(jnp.int32) << 5))
+        dirs_ref[dm1, :, :] = byte.astype(jnp.uint8)
+
+        elig = ((i_vec >= 1) & (i_vec <= rlens) & (j_vec >= 1)
+                & (j_vec <= wlens) & (i_vec >= rlens - clip_r)
+                & (j_vec >= anchor_r))
+        escore = jnp.where(elig, H_new, NEG_BIG)
+        s_star = escore.max(axis=1, keepdims=True)
+        i_star = jnp.where(escore == s_star, i_vec, -1).max(axis=1, keepdims=True)
+        j_star = d - i_star
+        c_star = (escore == s_star).sum(axis=1, dtype=jnp.int32)[:, None]
+        better = (s_star > bS) | (
+            (s_star == bS) & ((j_star < bJ) | ((j_star == bJ) & (i_star < bI))))
+        equal = s_star == bS
+        bC = jnp.where(better, c_star, jnp.where(equal, bC + c_star, bC))
+        bS = jnp.where(better, s_star, bS)
+        bJ = jnp.where(better, j_star, bJ)
+        bI = jnp.where(better, i_star, bI)
+        return H_new, H1, D_new, I_new, chars, (bS, bJ, bI, bC)
+
+    _, _, _, _, _, (bS, bJ, bI, bC) = jax.lax.fori_loop(
+        0, ND, step, (h0, hm1, d0, i0, chars0, best0))
+    stats_ref[:, 0:1] = bS
+    stats_ref[:, 1:2] = bI
+    stats_ref[:, 2:3] = bJ
+    stats_ref[:, 3:4] = bC
+
+
+@partial(jax.jit, static_argnames=("sc", "interpret"))
+def _dp_forward_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
+                            anchor_l, anchor_r, sc: DPScores,
+                            interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, Lr = reads.shape
+    Lw = wins.shape[1]
+    # fixed 128-lane layout: every state vector is tile-aligned (lanes
+    # past Lr+1 carry garbage that the eligibility masks exclude and
+    # the traceback never visits)
+    Lr1 = 128
+    ND = Lr + Lw
+    PT = PALLAS_P_TILE
+    reads_pad = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int32), reads.astype(jnp.int32),
+         jnp.zeros((P, Lr1 - Lr - 1), jnp.int32)], axis=1)
+    params = jnp.stack(
+        [rlens, wlens, clip_l, clip_r, anchor_l, anchor_r,
+         jnp.zeros_like(rlens), jnp.zeros_like(rlens)], axis=1
+    ).astype(jnp.int32)                                      # (P, 8)
+    grid = (P // PT,)
+    dirs, stats = pl.pallas_call(
+        partial(_dp_forward_pallas_kernel, sc=sc, ND=ND, Lw=Lw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((PT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Lr1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ND, PT, Lr1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ND, P, Lr1), jnp.uint8),
+            jax.ShapeDtypeStruct((P, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, reads_pad, wins.astype(jnp.int32))
+    return stats[:, 0], stats[:, 1], stats[:, 2], stats[:, 3], dirs
 
 
 @jax.jit

@@ -132,3 +132,35 @@ def test_exact_read_aligns_perfectly(rng):
     for p in range(P):
         assert runs_from_engine(np.asarray(ops), np.asarray(cnts),
                                 np.asarray(nrun), p) == [("M", Lr)]
+
+
+def test_pallas_forward_matches_scan():
+    """The Pallas VMEM kernel must agree exactly with the scan spec
+    (run in interpreter mode so the test works on CPU)."""
+    import numpy as np
+    from soap3dp_tpu.kernels import banded_dp as bd
+
+    rng = np.random.default_rng(3)
+    P, Lr, Lw = 64, 40, 70
+    wins = rng.integers(0, 4, (P, Lw)).astype(np.uint8)
+    reads = np.zeros((P, Lr), np.uint8)
+    rlens = rng.integers(20, Lr + 1, P).astype(np.int32)
+    for p in range(P):
+        reads[p, :rlens[p]] = wins[p, 5:5 + rlens[p]]
+    # mutations + an indel case
+    reads[0, 10] = (reads[0, 10] + 1) % 4
+    reads[1] = np.roll(reads[1], 3)
+    wlens = np.full(P, Lw, np.int32)
+    clip_l = rng.integers(0, 10, P).astype(np.int32)
+    clip_r = rng.integers(0, 10, P).astype(np.int32)
+    anchor_l = np.full(P, Lw + 1, np.int32)
+    anchor_r = np.zeros(P, np.int32)
+    args = [jnp.asarray(x) for x in (reads, rlens, wins, wlens, clip_l,
+                                     clip_r, anchor_l, anchor_r)]
+    ref = bd._dp_forward_scan(*args, sc=bd.DPScores())
+    got = bd._dp_forward_pallas_call(*args, sc=bd.DPScores(), interpret=True)
+    for name, a, b in zip(("bS", "bI", "bJ", "bC"), ref[:4], got[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # pallas dirs are padded to 128 lanes; the real lanes must agree
+    assert np.array_equal(np.asarray(ref[4]),
+                          np.asarray(got[4])[:, :, : Lr + 1]), "dirs"
