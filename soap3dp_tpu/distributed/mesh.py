@@ -17,6 +17,7 @@ mesh and fetched with collectives; that path is scaffolded by
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -35,10 +36,29 @@ def make_mesh(devices=None, axis: str = "reads") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def replicate_index(index: Index, mesh: Mesh) -> DeviceIndex:
-    """Upload the index replicated to every chip in the mesh."""
+def replicate_index(index: Index, mesh: Mesh, shard_sa: bool = False
+                    ) -> DeviceIndex:
+    """Upload the index to every chip in the mesh.
+
+    With ``shard_sa`` the SA-sample table — the one large, rarely
+    touched array (up to 12GB at human scale with full sampling,
+    SURVEY section 2.3) — is sharded across the mesh instead of
+    replicated; XLA inserts the all-gather/collective for the few SA
+    lookups the compacted pipeline performs. Everything else (occ
+    blocks, LUT, packed genome) stays replicated in HBM.
+    """
     repl = NamedSharding(mesh, P())
-    return fmindex.device_index(index, sharding=repl)
+    didx = fmindex.device_index(index, sharding=repl)
+    if shard_sa:
+        n = didx.sa_samples.shape[0]
+        pad = (-n) % mesh.devices.size
+        sa = jnp.concatenate(
+            [didx.sa_samples,
+             jnp.zeros(pad, didx.sa_samples.dtype)]) if pad else didx.sa_samples
+        didx = dataclasses.replace(
+            didx, sa_samples=jax.device_put(
+                sa, NamedSharding(mesh, P(mesh.axis_names[0]))))
+    return didx
 
 
 def shard_batch(mesh: Mesh, reads: np.ndarray, lens: np.ndarray,

@@ -52,3 +52,31 @@ def test_graft_entry_hooks():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_sharded_sa_matches_replicated(mesh8, small_index, small_genome, rng):
+    """SA table sharded across the mesh: same results, 1/n the SA
+    memory per device (the 'index sharding' axis, SURVEY 2.3)."""
+    codes = small_genome.codes
+    B, L = 32, 40
+    pos = rng.integers(0, len(codes) - L, B)
+    reads = np.stack([codes[p:p + L] for p in pos]).astype(np.uint8)
+    lens = np.full(B, L, np.int32)
+    cfg = SearchConfig(k=1, occ_cap=8)
+
+    d_rep = dmesh.replicate_index(small_index, mesh8)
+    d_sh = dmesh.replicate_index(small_index, mesh8, shard_sa=True)
+    # per-device SA bytes shrink by the mesh size
+    shard_bytes = {db.data.nbytes for db in d_sh.sa_samples.addressable_shards}
+    assert max(shard_bytes) <= d_rep.sa_samples.nbytes // 8 + 8
+
+    sreads, slens, _ = dmesh.shard_batch(mesh8, reads, lens)
+    h_rep, n_rep = dmesh.alignment_step(mesh8, d_rep, sreads, slens, cfg,
+                                        max_steps=L // 2)
+    h_sh, n_sh = dmesh.alignment_step(mesh8, d_sh, sreads, slens, cfg,
+                                      max_steps=L // 2)
+    assert n_rep == n_sh == B
+    r1, t1, m1, v1, _ = h_rep.to_host()
+    r2, t2, m2, v2, _ = h_sh.to_host()
+    assert set(zip(r1[v1].tolist(), t1[v1].tolist(), m1[v1].tolist())) == \
+        set(zip(r2[v2].tolist(), t2[v2].tolist(), m2[v2].tolist()))
