@@ -58,6 +58,7 @@ def _build_options(args, first_read_file: str):
     opts.output_format = args.output_format
     opts.max_read_len = args.max_read_len
     opts.output_md = args.output_md
+    opts.illumina13 = args.illumina13
     opts.sample_name = args.sample_name
     opts.read_group = args.read_group or first_read_file
     opts.rg_option = args.rg_option

@@ -29,6 +29,20 @@ def _load(index_arg: str):
     return index, didx
 
 
+def _fix_quals(opts, *batches):
+    """Illumina 1.3+ (-I): shift phred+64 qualities to phred+33
+    (the reference converts at parse time, QueryParser.cpp)."""
+    import numpy as np
+
+    if not opts.illumina13:
+        return
+    for b in batches:
+        if b.quals is not None:
+            nz = b.quals != 0
+            b.quals[nz] = np.maximum(b.quals[nz].astype(np.int16) - 31,
+                                     33).astype(b.quals.dtype)
+
+
 def _writer(opts, index, path):
     from soap3dp_tpu.io.sam import SamWriter
     from soap3dp_tpu.io.succinct import SuccinctWriter, BamWriter
@@ -57,6 +71,7 @@ def run_single(args) -> int:
         for batch in prefetch(read_single(args.reads, opts.batch_size,
                                           opts.max_read_len)):
             t0 = time.time()
+            _fix_quals(opts, batch)
             s = align_single_batch(index, didx, batch, opts, w)
             total.add(s)
             print(f"[soap3dp] batch: {s.num_reads} reads, "
@@ -86,10 +101,14 @@ def run_pair(args) -> int:
         it = prefetch(read_pairs(args.reads1, args.reads2,
                                  opts.batch_size, opts.max_read_len))
         cur = next(it, None)
+        if cur:
+            _fix_quals(opts, *cur)
         pending = dispatch_pair_search(didx, *cur, opts) if cur else None
         while cur is not None:
             b1, b2 = cur
             nxt = next(it, None)
+            if nxt:
+                _fix_quals(opts, *nxt)
             nxt_pending = dispatch_pair_search(didx, *nxt, opts) if nxt else None
             t0 = time.time()
             s = align_pair_batch(index, didx, b1, b2, opts, w,

@@ -33,6 +33,7 @@ class AlignOptions:
     read_group: str = "default"         # -D
     sample_name: str = "default"        # -A
     rg_option: str = ""                 # -R
+    illumina13: bool = False            # -I: qualities are phred+64
     # ini-level knobs (soap3-dp.ini)
     max_output_per_read: int = 1000
     max_output_per_pair: int = 1000

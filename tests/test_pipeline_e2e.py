@@ -238,3 +238,32 @@ def test_pair_unmapped(small_index, small_device_index, rng):
     # ends may DP-salvage by chance on a 20kb genome; just require both
     # records present with pair flags
     assert all(r["flag"] & 0x1 for r in recs)
+
+
+def test_long_reads_200bp(small_index, small_device_index, small_genome):
+    """Long-read path (reference: >120bp reads seed on a prefix then DP,
+    alignment.cu:2475-2491; here the pigeonhole segments scale and the
+    DP falls back to the scan kernel for Lr+1 > 128)."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(42)
+    L = 200
+    pos = rng2.integers(100, len(codes) - 400, 3)
+    seqs = []
+    for i, p in enumerate(pos):
+        s = codes[p:p + L].copy()
+        s[50] = (s[50] + 1) % 4
+        if i == 2:  # 4bp deletion: needs DP rescue
+            s = np.concatenate([s[:80], codes[p + 84:p + 84 + L - 80]])
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=256)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               max_read_len=256)
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos):
+        r = byname[f"r{i}"]
+        assert not r["flag"] & 0x4, i
+        assert r["pos"] == p + 1, i
+        if i == 2:
+            assert "D" in r["cigar"]
+        else:
+            assert r["cigar"] == f"{L}M"
