@@ -68,6 +68,60 @@ class SuccinctWriter:
     def __exit__(self, *exc):
         self.close()
 
+    def write_block(self, names: list[bytes], flags, chroms, poss, mapqs,
+                    cigars: list[bytes], nms) -> None:
+        """Columnar bulk write: serialize N records with vectorized
+        numpy byte assembly (one Python pass only for the ragged
+        name/cigar copies' source concat). The analog of the
+        reference's OCC cache flush (OCCFlushCacheDefault) — records
+        buffer up and hit the stream in one write."""
+        N = len(names)
+        if N == 0:
+            return
+        flags = np.asarray(flags, np.uint16)
+        chroms = np.asarray(chroms, np.int32)
+        poss = np.asarray(poss, np.uint32)
+        mapqs = np.asarray(mapqs, np.uint8)
+        nms = np.asarray(nms, np.int32)
+        qlen = np.fromiter((len(n) for n in names), np.int64, N)
+        clen = np.fromiter((len(c) for c in cigars), np.int64, N)
+        rec_len = 19 + qlen + clen
+        off = np.zeros(N + 1, np.int64)
+        np.cumsum(rec_len, out=off[1:])
+        buf = np.zeros(off[-1], np.uint8)
+
+        def put_u16(pos, val):
+            buf[pos] = val & 0xFF
+            buf[pos + 1] = (val >> 8) & 0xFF
+
+        def put_u32(pos, val):
+            v = val.astype(np.uint32)
+            for k in range(4):
+                buf[pos + k] = (v >> (8 * k)).astype(np.uint8)
+
+        o = off[:-1]
+        put_u16(o, qlen.astype(np.uint16))
+        # ragged qname copy
+        src = np.frombuffer(b"".join(names), np.uint8)
+        dst = np.repeat(o + 2, qlen) + (np.arange(len(src))
+                                        - np.repeat(np.concatenate(
+                                            ([0], np.cumsum(qlen)[:-1])), qlen))
+        buf[dst] = src
+        f0 = o + 2 + qlen
+        put_u16(f0, flags)
+        put_u32(f0 + 2, chroms.view(np.uint32) if chroms.dtype == np.int32
+                else chroms.astype(np.uint32))
+        put_u32(f0 + 6, poss)
+        buf[f0 + 10] = mapqs
+        put_u16(f0 + 11, clen.astype(np.uint16))
+        csrc = np.frombuffer(b"".join(cigars), np.uint8)
+        cdst = np.repeat(f0 + 13, clen) + (np.arange(len(csrc))
+                                           - np.repeat(np.concatenate(
+                                               ([0], np.cumsum(clen)[:-1])), clen))
+        buf[cdst] = csrc
+        put_u32(f0 + 13 + clen, nms.view(np.uint32))
+        self._fh.write(buf.tobytes())
+
 
 def read_succinct(path):
     """Decode a succinct file -> (names, lengths, records). For

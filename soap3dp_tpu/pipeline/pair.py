@@ -354,15 +354,49 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
         n_sel = np.ones(len(paired), np.int64)
     slow = (n_sel > 1) | opts.output_md
 
+    # fast path: plain proper pairs with no alternates/MD go through the
+    # columnar block writer when the output format supports it
+    fast = ok & ~slow
+    if fast.any() and hasattr(writer, "write_block"):
+        fi = np.flatnonzero(fast)
+        bsel = paired[fi]
+        names = [None] * (2 * len(fi))
+        names[0::2] = [b1.names[b] for b in bsel]
+        names[1::2] = [b2.names[b] for b in bsel]
+        cig_cache: dict[int, bytes] = {}
+
+        def cig(rl):
+            c = cig_cache.get(rl)
+            if c is None:
+                c = cig_cache[rl] = b"%dM" % rl
+            return c
+
+        cigars = [None] * (2 * len(fi))
+        cigars[0::2] = [cig(int(lens1[b])) for b in bsel]
+        cigars[1::2] = [cig(int(lens2[b])) for b in bsel]
+
+        def inter(a, b_):
+            return np.stack([np.asarray(a)[fi], np.asarray(b_)[fi]],
+                            axis=1).reshape(-1)
+
+        writer.write_block(
+            names, inter(f1, f2), inter(c1, c2), inter(o1, o2),
+            inter(mq1, mq2), cigars, np.zeros(2 * len(fi), np.int32))
+        keep = ~fast
+    else:
+        keep = np.ones(len(paired), bool)
+
     cols = list(zip(
-        paired.tolist(), ok.tolist(), prim.tolist(),
-        c1.tolist(), o1.tolist(), s1.tolist(), int_list(mq1),
-        c2.tolist(), o2.tolist(), s2.tolist(), int_list(mq2),
-        tlen1.tolist(), f1.tolist(), f2.tolist(),
-        t1.nmis[r1].tolist(), t2.nmis[r2].tolist(),
-        n_sel.tolist(), slow.tolist(),
-        st1.x0[paired].tolist(), st1.x1[paired].tolist(),
-        st2.x0[paired].tolist(), st2.x1[paired].tolist()))
+        paired[keep].tolist(), ok[keep].tolist(), prim[keep].tolist(),
+        c1[keep].tolist(), o1[keep].tolist(), s1[keep].tolist(),
+        int_list(mq1[keep]),
+        c2[keep].tolist(), o2[keep].tolist(), s2[keep].tolist(),
+        int_list(mq2[keep]),
+        tlen1[keep].tolist(), f1[keep].tolist(), f2[keep].tolist(),
+        t1.nmis[r1[keep]].tolist(), t2.nmis[r2[keep]].tolist(),
+        n_sel[keep].tolist(), slow[keep].tolist(),
+        st1.x0[paired[keep]].tolist(), st1.x1[paired[keep]].tolist(),
+        st2.x0[paired[keep]].tolist(), st2.x1[paired[keep]].tolist()))
     for (b, okb, pr, ch1, of1, st1b, m1, ch2, of2, st2b, m2, tlb, fl1, fl2,
          nm1, nm2, nsel, sl, x01, x11, x02, x12) in cols:
         if not okb:

@@ -236,3 +236,36 @@ def test_bam_roundtrip(tmp_path, small_index):
     assert sum(len(b1) for b1, _ in prs) == 2
     b1, b2 = prs[0]
     assert b1.names[0] == b"q0" and b2.names[0] == b"q1"
+
+
+def test_succinct_write_block_matches_write(tmp_path, small_index):
+    """Columnar block serialization is byte-compatible with write()."""
+    import numpy as np
+    from soap3dp_tpu.io.sam import SamRecord
+    from soap3dp_tpu.io.succinct import SuccinctWriter, read_succinct
+
+    names = [b"a1", b"b22", b"c333", b"d"]
+    flags = [99, 147, 83, 163]
+    chroms = [0, 0, 0, 0]
+    poss = [10, 20, 4000000000, 40]
+    mapqs = [60, 60, 37, 0]
+    cigars = [b"50M", b"50M", b"30M3D17M", b"50M"]
+    nms = [0, 1, -1, 2]
+
+    p1 = tmp_path / "a.gout"
+    w = SuccinctWriter(str(p1), small_index)
+    for i in range(4):
+        w.write(SamRecord(qname=names[i], flag=flags[i], chrom=chroms[i],
+                          pos=poss[i], mapq=mapqs[i],
+                          cigar=cigars[i].decode(), seq=b"*", qual=None,
+                          tags=[f"NM:i:{nms[i]}"]))
+    w.close()
+    p2 = tmp_path / "b.gout"
+    w2 = SuccinctWriter(str(p2), small_index)
+    w2.write_block(names, flags, chroms, poss, mapqs, cigars, nms)
+    w2.close()
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    ns, ls, recs = read_succinct(str(p2))
+    assert [r[0] for r in recs] == names
+    assert [r[3] for r in recs] == poss
+    assert [r[6] for r in recs] == nms
