@@ -29,8 +29,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 40_000_000))
 READ_LEN = 100
 INSERT = 400
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", 100_000))
-BATCH = int(os.environ.get("BENCH_BATCH", 50_000))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 200_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
 BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
 
 
