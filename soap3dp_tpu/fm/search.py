@@ -277,7 +277,11 @@ class PendingSearch:
         self.longest_seg = -(-max_len // S)
         self.seed_q = min(default_seed_q(idx, cfg), self.longest_seg)
         self.steps = _steps_for(idx, self.seed_q, min(self.min_seg, self.seed_q))
-        self.K = shapes.bucket(2 * self.B * S * 2, min_size=1024)
+        # expected candidates ~= one per (read, seed) on the true strand
+        # plus a little noise; the retry loop grows the budget if a
+        # batch beats the estimate, so start tight — every padding slot
+        # costs real SA-decode/verify/sort work
+        self.K = shapes.bucket(self.B * S * 5 // 4, min_size=1024)
         self.K_max = 2 * self.B * S * cfg.occ_cap
         # async dispatch; no sync here
         self._hits, self._total = _search_batch(
