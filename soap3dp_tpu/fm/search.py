@@ -83,15 +83,18 @@ class HitArrays:
         """Device->host with packed transfers.
 
         Every D2H transfer pays a fixed round-trip latency (remote-TPU
-        tunnels make this ~10ms), so the four hit columns ship as ONE
-        concatenated u32 array instead of four."""
+        tunnels make this ~10ms) plus bandwidth, so entries ship as ONE
+        array of two u32 words: [tp | row(24b) + nmis(7b) + valid(1b)].
+        """
         if isinstance(self.row, jax.Array) and not isinstance(self.row, np.ndarray):
-            packed = jnp.concatenate([
-                self.row.astype(jnp.uint32), self.tp,
-                self.nmis.astype(jnp.uint32), self.valid.astype(jnp.uint32)])
-            ph = np.asarray(packed).reshape(4, -1)
-            return (ph[0].astype(np.int32), ph[1],
-                    ph[2].astype(np.int32), ph[3].astype(bool),
+            meta = (jnp.clip(self.row, 0, (1 << 24) - 1).astype(jnp.uint32)
+                    | (jnp.clip(self.nmis, 0, 127).astype(jnp.uint32) << 24)
+                    | (self.valid.astype(jnp.uint32) << 31))
+            ph = np.asarray(jnp.concatenate([self.tp, meta])).reshape(2, -1)
+            meta_h = ph[1]
+            return ((meta_h & 0xFFFFFF).astype(np.int32), ph[0],
+                    ((meta_h >> 24) & 0x7F).astype(np.int32),
+                    (meta_h >> 31).astype(bool),
                     np.asarray(self.flagged))
         return (np.asarray(self.row), np.asarray(self.tp),
                 np.asarray(self.nmis), np.asarray(self.valid),
@@ -110,17 +113,42 @@ def _seed_bounds(lens: jax.Array, num_seeds: int, seed_q: int
     return start, length
 
 
-@partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps", "K"))
+def pack_read_matrix(reads: np.ndarray) -> np.ndarray:
+    """Host-side 2-bit pack of a (B, L) code matrix into (B, ceil(L/16))
+    uint32 — uploads shrink 4x (H2D bandwidth over a remote link is a
+    real per-batch cost)."""
+    B, L = reads.shape
+    W = (L + 15) // 16
+    padded = np.zeros((B, W * 16), np.uint32)
+    padded[:, :L] = reads
+    lanes = padded.reshape(B, W, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    return np.bitwise_or.reduce(lanes << shifts, axis=2).astype(np.uint32)
+
+
+def _unpack_read_matrix(words: jax.Array, L: int) -> jax.Array:
+    """Device-side inverse of pack_read_matrix."""
+    B, W = words.shape
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    codes = (words[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(B, W * 16)[:, :L].astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
+                                   "K", "L"))
 def _search_batch(
     idx: DeviceIndex,
-    reads: jax.Array,   # (B, L) uint8 forward-strand codes
+    reads: jax.Array,   # (B, L) uint8 codes OR (B, W) uint32 packed (L given)
     lens: jax.Array,    # (B,) int32
     cfg: SearchConfig,
     cap: int,
     max_seed_steps: int,
     seed_q: int = 0,    # 0 = full pigeonhole segments
     K: int = 0,         # candidate-compaction budget (0 = R*S*cap, no compaction win)
+    L: int = 0,         # read-matrix width when `reads` is packed uint32
 ) -> tuple[HitArrays, jax.Array]:
+    if reads.dtype == jnp.uint32:
+        reads = _unpack_read_matrix(reads, L)
     B, L = reads.shape
     S = cfg.num_seeds
     n = idx.n
@@ -190,18 +218,12 @@ def _search_batch(
     )
     hit_ok = pos_ok & (nmis <= cfg.k)
 
-    # dedupe identical (row, tp) pairs (a placement can be found by
-    # several seeds): lexicographic device sort + neighbor mask
-    key_row = jnp.where(hit_ok, orow, ROW_SENTINEL)
-    key_tp = jnp.where(hit_ok, tp, SENTINEL)
-    s_row, s_tp, s_nmis = jax.lax.sort(
-        (key_row, key_tp, nmis), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         (s_row[1:] != s_row[:-1]) | (s_tp[1:] != s_tp[:-1])])
-    valid = first & (s_row != ROW_SENTINEL)
-
-    return HitArrays(row=s_row, tp=s_tp, nmis=s_nmis, valid=valid,
+    # NOTE: duplicates (a placement found by several seeds) are NOT
+    # removed here — a device-wide sort is far more expensive on TPU
+    # than the host-side lexsort hits_to_table performs anyway; the
+    # host dedupes on its sorted table.
+    return HitArrays(row=jnp.where(hit_ok, orow, ROW_SENTINEL),
+                     tp=tp, nmis=nmis, valid=hit_ok,
                      flagged=flagged), total
 
 
@@ -264,13 +286,15 @@ class PendingSearch:
                  cfg: SearchConfig = SearchConfig()):
         self.idx = idx
         self.cfg = cfg
-        self.reads = jnp.asarray(reads)
+        self.reads_h = np.asarray(reads)
         self.lens_h = np.asarray(lens).astype(np.int32)
         self.lens = jnp.asarray(self.lens_h)
-        self.B, self.L = self.reads.shape
+        self.B, self.L = self.reads_h.shape
         S = cfg.num_seeds
         if self.B == 0:
             return
+        # 2-bit pack before upload: 4x less H2D traffic per batch
+        self.packed = jnp.asarray(pack_read_matrix(self.reads_h))
         max_len = int(self.lens_h.max())
         min_len = int(self.lens_h.min())
         self.min_seg = min_len // S
@@ -285,8 +309,8 @@ class PendingSearch:
         self.K_max = 2 * self.B * S * cfg.occ_cap
         # async dispatch; no sync here
         self._hits, self._total = _search_batch(
-            idx, self.reads, self.lens, cfg, cfg.occ_cap, self.steps,
-            self.seed_q, min(self.K, self.K_max))
+            idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
+            self.seed_q, min(self.K, self.K_max), L=self.L)
 
     def result(self) -> HitArrays:
         cfg = self.cfg
@@ -300,9 +324,11 @@ class PendingSearch:
         while t > K and K < self.K_max:
             K = min(shapes.bucket(t), self.K_max)
             hits, total = _search_batch(
-                self.idx, self.reads, self.lens, cfg, cfg.occ_cap,
-                self.steps, self.seed_q, min(K, self.K_max))
+                self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
+                self.steps, self.seed_q, min(K, self.K_max), L=self.L)
             t = int(total)
+        # candidates are compaction-ordered (pads at the end), so the
+        # prefix slice still covers every real candidate
         tb = min(shapes.bucket(t, min_size=1024), min(K, self.K_max))
         if tb < hits.row.shape[0]:
             hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
@@ -316,7 +342,7 @@ class PendingSearch:
         # only, padded to a power-of-two bucket for executable reuse.
         sel = np.flatnonzero(flagged)
         nb = min(shapes.bucket(len(sel), min_size=64), B)
-        reads_h = np.asarray(self.reads)
+        reads_h = self.reads_h
         sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
             if len(sel) < nb else sel[:nb]
         steps2 = _steps_for(self.idx, self.longest_seg,

@@ -54,6 +54,16 @@ def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
     order = np.lexsort((strand, pos, nmis, read))
     read, strand, pos, nmis = (read[order], strand[order], pos[order],
                                nmis[order])
+    # dedupe placements found by several seeds (identical placements
+    # have identical nmis, so duplicates are lexsort-adjacent)
+    if read.size:
+        dup = np.concatenate(
+            [[False], (read[1:] == read[:-1]) & (pos[1:] == pos[:-1])
+             & (strand[1:] == strand[:-1])])
+        if dup.any():
+            keep = ~dup
+            read, strand, pos, nmis = (read[keep], strand[keep], pos[keep],
+                                       nmis[keep])
     start = np.searchsorted(read, np.arange(B + 1)).astype(np.int64)
     return HitTable(read_id=read, strand=strand, pos=pos, nmis=nmis,
                     start=start, flagged=flagged)

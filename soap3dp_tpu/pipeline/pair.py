@@ -532,6 +532,30 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
                          lens1, lens2, opts, sc, writer) -> np.ndarray:
     """DP the unaligned mate into windows derived from anchor hits.
 
+    Anchors are tried best-first in escalating rounds (2, then all 8):
+    most pairs rescue on their first anchor, so the expensive
+    mate-window DP runs on a fraction of the anchor set.
+    """
+    rescued_all: list[np.ndarray] = []
+    remaining = half
+    for max_anchors in (2, MAX_ANCHORS):
+        if remaining.size == 0:
+            break
+        got = _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2,
+                                  remaining, lens1, lens2, opts, sc, writer,
+                                  max_anchors, skip_anchors=0 if
+                                  max_anchors == 2 else 2)
+        if got.size:
+            rescued_all.append(got)
+            remaining = np.setdiff1d(remaining, got, assume_unique=True)
+    return np.concatenate(rescued_all) if rescued_all else np.zeros(0, int)
+
+
+def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,
+                        lens1, lens2, opts, sc, writer,
+                        max_anchors: int, skip_anchors: int) -> np.ndarray:
+    """One anchor round of the half-aligned rescue.
+
     Geometry per HalfEndAlgnBatch::pack (DV-DPfunctions.cu:2056-2106):
     anchor on the left leg -> mate window
       [anchor + min_insert - mate_len, anchor + max_insert), start
@@ -543,12 +567,13 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
     n = int(index.n)
     parts = []  # (pair, anchor_end, anchor_row, win_start, win_len, strand)
     for (ta, anchor_end) in ((t1, 0), (t2, 1)):
-        cnt = np.minimum(ta.counts()[half], MAX_ANCHORS).astype(np.int64)
+        cnt = (np.minimum(ta.counts()[half], max_anchors)
+               - skip_anchors).clip(min=0).astype(np.int64)
         if not cnt.sum():
             continue
         rep = np.repeat(half, cnt).astype(np.int64)            # pair ids
-        rk = np.arange(len(rep)) - np.repeat(
-            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)   # rank in group
+        rk = skip_anchors + (np.arange(len(rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))  # rank in group
         rows = ta.start[rep] + rk                              # anchor rows
         apos = ta.pos[rows].astype(np.int64)
         astrand = ta.strand[rows].astype(np.int64)
