@@ -1,0 +1,94 @@
+"""CLI surface tests: builder -> aligner -> viewer, in-process."""
+
+import numpy as np
+import pytest
+
+from soap3dp_tpu.utils import dna
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """A genome FASTA, its index, and read files."""
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(99)
+    codes = rng.integers(0, 4, 30000).astype(np.uint8)
+    seq = dna.decode(codes).decode()
+    fa = d / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chrA\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i:i + 60] + "\n")
+
+    from soap3dp_tpu.cli.builder import main as builder_main
+    assert builder_main([str(fa)]) == 0
+
+    B, L, INS = 12, 80, 250
+    pos = rng.integers(0, 30000 - INS - 1, B)
+    with open(d / "r1.fq", "w") as f1, open(d / "r2.fq", "w") as f2, \
+            open(d / "s.fq", "w") as fs:
+        for b in range(B):
+            left = codes[pos[b]:pos[b] + L].copy()
+            left[11] = (left[11] + 1) % 4
+            right = dna.revcomp_codes(codes[pos[b] + INS - L:pos[b] + INS])
+            sl = dna.decode(left).decode()
+            sr = dna.decode(right).decode()
+            f1.write(f"@p{b}\n{sl}\n+\n{'I' * L}\n")
+            f2.write(f"@p{b}\n{sr}\n+\n{'I' * L}\n")
+            fs.write(f"@p{b}\n{sl}\n+\n{'I' * L}\n")
+    return d, pos, B, L, INS
+
+
+def test_cli_single_sam(workdir):
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+    rc = main(["single", str(d / "g.fa.index"), str(d / "s.fq"),
+               "-o", str(d / "out_s")])
+    assert rc == 0
+    assert (d / "out_s.done").exists()
+    recs = [l.split("\t") for l in open(d / "out_s.sam") if not l.startswith("@")]
+    assert len(recs) == B
+    byname = {r[0]: r for r in recs}
+    for b in range(B):
+        assert int(byname[f"p{b}"][3]) == pos[b] + 1
+
+
+def test_cli_pair_succinct_and_view(workdir, capsys):
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+    rc = main(["pair", str(d / "g.fa.index"), str(d / "r1.fq"),
+               str(d / "r2.fq"), "-v", "100", "-u", "400",
+               "-b", "1", "-o", str(d / "out_p")])
+    assert rc == 0
+    from soap3dp_tpu.cli.view import main as view_main
+    assert view_main([str(d / "out_p.gout")]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith("@")]
+    assert len(lines) == 2 * B
+    assert any("chrA" in l for l in lines)
+
+
+def test_cli_pair_bam_output(workdir):
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+    rc = main(["pair", str(d / "g.fa.index"), str(d / "r1.fq"),
+               str(d / "r2.fq"), "-v", "100", "-u", "400",
+               "-b", "3", "-o", str(d / "out_b")])
+    assert rc == 0
+    from soap3dp_tpu.io import bamread
+    assert bamread.is_bam(d / "out_b.bam")
+    got = list(bamread.iter_bam_reads(d / "out_b.bam"))
+    assert len(got) == 2 * B
+
+
+def test_cli_pair_multi(workdir):
+    d, pos, B, L, INS = workdir
+    lst = d / "list.txt"
+    with open(lst, "w") as f:
+        f.write(f"{d}/r1.fq\t{d}/r2.fq\t100\t400\t{d}/out_m\trg1\tsampleX\n")
+    from soap3dp_tpu.cli.main import main
+    rc = main(["pair-multi", str(d / "g.fa.index"), str(lst)])
+    assert rc == 0
+    header = [l for l in open(d / "out_m.sam") if l.startswith("@RG")]
+    assert "ID:rg1" in header[0] and "SM:sampleX" in header[0]
+    recs = [l for l in open(d / "out_m.sam") if not l.startswith("@")]
+    assert len(recs) == 2 * B
