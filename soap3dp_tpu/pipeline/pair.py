@@ -689,6 +689,24 @@ def _cigar_ref_span(cigar: str) -> int:
 
 def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
                     writer) -> np.ndarray:
+    """Two seeding rounds (the reference's DP2 round1/round2 staging,
+    definitions.h:165-188): round 2 re-seeds still-unpaired pairs with
+    the longer seed-length table."""
+    rescued = []
+    remaining = deep
+    for round2 in (False, True):
+        if remaining.size == 0:
+            break
+        got = _deep_dp_round(index, didx, b1, b2, remaining, lens1, lens2,
+                             opts, sc, writer, round2)
+        if got.size:
+            rescued.append(got)
+            remaining = np.setdiff1d(remaining, got, assume_unique=True)
+    return np.concatenate(rescued) if rescued else np.zeros(0, int)
+
+
+def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
+                   writer, round2: bool) -> np.ndarray:
     """Seed both ends, pair candidate loci by insert window, DP both ends."""
     max_len = int(max(b1.codes.shape[1], b2.codes.shape[1]))  # static
 
@@ -701,8 +719,8 @@ def _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     sl1 = lens1[deep]
     sl2 = lens2[deep]
     Bd = len(deep)
-    sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len)
-    sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len)
+    sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len, round2)
+    sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len, round2)
     # one seeding batch over both ends (fewer dispatches/transfers)
     call = dp_rescue.seed_candidates(
         didx, np.concatenate([sub1, sub2]), np.concatenate([sl1, sl2]),
