@@ -479,6 +479,8 @@ def dp_traceback(
     start_j is the 0-based window offset where the alignment starts.
     """
     del reads, wins  # match/mismatch is carried in dirs bit 5
+    from soap3dp_tpu.utils import shapes
+
     ND, P, Lr1 = dirs.shape
     opseq, meta = _traceback_scan(
         dirs, jnp.asarray(hit_i), jnp.asarray(hit_j), jnp.asarray(active))
@@ -498,12 +500,28 @@ def dp_traceback(
     at_i0 = active & ~done & (i == 0)
     startj = np.where(at_i0, j, startj)
 
-    # host RLE: [right clip] + move stream + [tail insert] + [left clip]
-    # opseq rows are stacked at d-1 (reverse scan), so emission order
-    # per problem is d descending = rows reversed.
-    S = np.asarray(opseq)[::-1].T                     # (P, ND) emission order
-    rclip = np.where(active, rlens_h - hit_i_h, 0)
-    ops, cnts, nrun = _rle_runs(S, rclip, ins_tail, np.where(active, clip, 0))
+    # most lanes usually fail the score cutoff and were never traced:
+    # gather only the active rows on device before the big transfer and
+    # the host RLE (bucketed so the gather executable is reused)
+    pass_idx = np.flatnonzero(active)
+    if len(pass_idx) == 0:
+        return (np.zeros((P, 1), np.int32), np.zeros((P, 1), np.int32),
+                np.zeros(P, np.int32), startj)
+    nb = min(shapes.bucket(len(pass_idx), min_size=256), P)
+    idx_pad = pass_idx if len(pass_idx) >= nb else \
+        np.pad(pass_idx, (0, nb - len(pass_idx)))
+    sub = np.asarray(jnp.transpose(opseq)[jnp.asarray(idx_pad[:nb])])
+    S = sub[: len(pass_idx), ::-1]                    # (npass, ND) emission order
+    rclip = (rlens_h - hit_i_h)[pass_idx]
+    ops_s, cnts_s, nrun_s = _rle_runs(
+        S, rclip, ins_tail[pass_idx], clip[pass_idx])
+    MR = ops_s.shape[1]
+    ops = np.zeros((P, MR), np.int32)
+    cnts = np.zeros((P, MR), np.int32)
+    nrun = np.zeros(P, np.int32)
+    ops[pass_idx] = ops_s
+    cnts[pass_idx] = cnts_s
+    nrun[pass_idx] = nrun_s
     return ops, cnts, nrun, startj
 
 
