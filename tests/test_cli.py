@@ -92,3 +92,35 @@ def test_cli_pair_multi(workdir):
     assert "ID:rg1" in header[0] and "SM:sampleX" in header[0]
     recs = [l for l in open(d / "out_m.sam") if not l.startswith("@")]
     assert len(recs) == 2 * B
+
+
+def test_ini_options(tmp_path):
+    ini = tmp_path / "soap3-dp.ini"
+    ini.write_text("""
+[Alignment]
+MaxOutputPerRead = 77
+Soap3MisMatchAllow = 1
+[PairEnd]
+StrandArrangement = -/+
+MaxOutputPerPair = 55
+[DP]
+MatchScore = 2
+MismatchScore = -3
+DPScoreThreshold = 17
+[Score]
+BWALikeScore = 0
+MaxMAPQ = 30
+[Clipping]
+MaxFrontLenClipped = 5
+""")
+    from soap3dp_tpu.cli.ini import load_ini_options
+    o = load_ini_options(str(ini))
+    assert o.max_output_per_read == 77
+    assert o.soap3_mismatch_allow == 1
+    assert (o.strand_left_leg, o.strand_right_leg) == (1, 0)
+    assert o.max_output_per_pair == 55
+    assert o.match_score == 2 and o.mismatch_score == -3
+    assert o.dp_score_threshold == 17
+    assert o.bwa_like_score is False
+    assert o.max_mapq == 30
+    assert o.max_front_clip == 5
