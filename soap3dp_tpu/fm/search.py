@@ -135,7 +135,7 @@ def _unpack_read_matrix(words: jax.Array, L: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
-                                   "K", "L"))
+                                   "K", "L", "K2"))
 def _search_batch(
     idx: DeviceIndex,
     reads: jax.Array,   # (B, L) uint8 codes OR (B, W) uint32 packed (L given)
@@ -146,6 +146,7 @@ def _search_batch(
     seed_q: int = 0,    # 0 = full pigeonhole segments
     K: int = 0,         # candidate-compaction budget (0 = R*S*cap, no compaction win)
     L: int = 0,         # read-matrix width when `reads` is packed uint32
+    K2: int = 0,        # unique-placement budget (0 = K, lossless)
 ) -> tuple[HitArrays, jax.Array]:
     if reads.dtype == jnp.uint32:
         reads = _unpack_read_matrix(reads, L)
@@ -208,23 +209,40 @@ def _search_batch(
     ln = olens[orow].astype(U32)
     pos_ok = cvalid & (sa_pos >= st) & (tp + ln <= n)
 
-    # verify in the packed domain
+    # dedupe BEFORE verification: a true placement is found by up to
+    # k+1 exact seeds, so verifying the raw candidate list costs ~S x
+    # the gather work of verifying unique (row, tp) placements. Sort +
+    # neighbor-mask + second compaction to the (smaller) unique budget.
+    if K2 <= 0:
+        K2 = K
+    krow = jnp.where(pos_ok, orow, ROW_SENTINEL)
+    ktp = jnp.where(pos_ok, tp, SENTINEL)
+    s_row, s_tp = jax.lax.sort((krow, ktp), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (s_row[1:] != s_row[:-1]) | (s_tp[1:] != s_tp[:-1])])
+    first &= s_row != ROW_SENTINEL
+    uniq = first.sum(dtype=jnp.int32)
+    idx2 = jnp.nonzero(first, size=K2, fill_value=-1)[0]
+    uvalid = idx2 >= 0
+    idx2s = jnp.where(uvalid, idx2, 0)
+    urow = s_row[idx2s]
+    utp = s_tp[idx2s]
+
+    # verify unique placements in the packed domain
     read_words = fmindex.pack_reads(oriented)                # (R, W)
+    urow_c = jnp.clip(urow, 0, R - 1)
     nmis = fmindex.count_mismatches_packed(
         idx,
-        jnp.where(pos_ok, tp, U32(0)),
-        read_words[orow],
-        olens[orow],
+        jnp.where(uvalid, utp, U32(0)),
+        read_words[urow_c],
+        olens[urow_c],
     )
-    hit_ok = pos_ok & (nmis <= cfg.k)
+    hit_ok = uvalid & (nmis <= cfg.k)
 
-    # NOTE: duplicates (a placement found by several seeds) are NOT
-    # removed here — a device-wide sort is far more expensive on TPU
-    # than the host-side lexsort hits_to_table performs anyway; the
-    # host dedupes on its sorted table.
-    return HitArrays(row=jnp.where(hit_ok, orow, ROW_SENTINEL),
-                     tp=tp, nmis=nmis, valid=hit_ok,
-                     flagged=flagged), total
+    return HitArrays(row=jnp.where(hit_ok, urow, ROW_SENTINEL),
+                     tp=utp, nmis=nmis, valid=hit_ok,
+                     flagged=flagged), jnp.stack([total, uniq])
 
 
 def default_seed_q(idx: DeviceIndex, cfg: SearchConfig) -> int:
@@ -258,13 +276,15 @@ def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
     K = shapes.bucket(2 * B * S * 2, min_size=1024)
     K_max = 2 * B * S * cap
     while True:
-        hits, total = _search_batch(idx, reads, lens, cfg, cap, steps,
-                                    seed_q, min(K, K_max))
-        t = int(total)
-        if t <= K or K >= K_max:
+        Kc = min(K, K_max)
+        hits, totals = _search_batch(idx, reads, lens, cfg, cap, steps,
+                                     seed_q, Kc)
+        th = np.asarray(totals)
+        t, u = int(th[0]), int(th[1])
+        if t <= Kc or K >= K_max:  # kernel K2 defaults to K (lossless)
             break
         K = min(shapes.bucket(t), K_max)
-    tb = min(shapes.bucket(t, min_size=1024), min(K, K_max))
+    tb = min(shapes.bucket(u, min_size=1024), hits.row.shape[0])
     if tb < hits.row.shape[0]:
         hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
                          nmis=hits.nmis[:tb], valid=hits.valid[:tb],
@@ -302,15 +322,17 @@ class PendingSearch:
         self.seed_q = min(default_seed_q(idx, cfg), self.longest_seg)
         self.steps = _steps_for(idx, self.seed_q, min(self.min_seg, self.seed_q))
         # expected candidates ~= one per (read, seed) on the true strand
-        # plus a little noise; the retry loop grows the budget if a
-        # batch beats the estimate, so start tight — every padding slot
-        # costs real SA-decode/verify/sort work
+        # plus a little noise; unique placements ~= one per read. The
+        # retry loop grows either budget if a batch beats the estimate,
+        # so start tight — every padding slot costs real work
         self.K = shapes.bucket(self.B * S * 5 // 4, min_size=1024)
+        self.K2 = shapes.bucket(self.B * 2, min_size=1024)
         self.K_max = 2 * self.B * S * cfg.occ_cap
         # async dispatch; no sync here
         self._hits, self._total = _search_batch(
             idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
-            self.seed_q, min(self.K, self.K_max), L=self.L)
+            self.seed_q, min(self.K, self.K_max), L=self.L,
+            K2=min(self.K2, self.K_max))
 
     def result(self) -> HitArrays:
         cfg = self.cfg
@@ -319,17 +341,24 @@ class PendingSearch:
             z = np.zeros(0, np.int32)
             return HitArrays(row=z, tp=z.astype(np.uint32), nmis=z,
                              valid=z.astype(bool), flagged=np.zeros(0, bool))
-        hits, K = self._hits, self.K
-        t = int(self._total)
-        while t > K and K < self.K_max:
-            K = min(shapes.bucket(t), self.K_max)
-            hits, total = _search_batch(
+        hits, K, K2 = self._hits, self.K, self.K2
+        th = np.asarray(self._total)
+        t, u = int(th[0]), int(th[1])
+        while ((t > min(K, self.K_max) or u > min(K2, self.K_max))
+               and (K < self.K_max or K2 < self.K_max)):
+            if t > min(K, self.K_max):
+                K = min(shapes.bucket(t), self.K_max)
+            if u > min(K2, self.K_max):
+                K2 = min(shapes.bucket(u), self.K_max)
+            hits, totals = _search_batch(
                 self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
-                self.steps, self.seed_q, min(K, self.K_max), L=self.L)
-            t = int(total)
-        # candidates are compaction-ordered (pads at the end), so the
-        # prefix slice still covers every real candidate
-        tb = min(shapes.bucket(t, min_size=1024), min(K, self.K_max))
+                self.steps, self.seed_q, min(K, self.K_max), L=self.L,
+                K2=min(K2, self.K_max))
+            th = np.asarray(totals)
+            t, u = int(th[0]), int(th[1])
+        # unique placements are compaction-ordered (pads at the end), so
+        # the prefix slice still covers every real hit
+        tb = min(shapes.bucket(u, min_size=1024), hits.row.shape[0])
         if tb < hits.row.shape[0]:
             hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
                              nmis=hits.nmis[:tb], valid=hits.valid[:tb],
