@@ -25,7 +25,23 @@ def main(argv=None) -> int:
                          "more memory)")
     ap.add_argument("--lut-k", type=int, default=None,
                     help="k-mer lookup table depth (default: auto)")
+    ap.add_argument("--ini", default=None,
+                    help="builder ini (soap3-dp-builder.ini analog: "
+                         "SaValueFreq key)")
     args = ap.parse_args(argv)
+
+    # layered config like the reference: ini then argv
+    import configparser
+    import os
+    ini = args.ini or (os.path.exists("soap3-dp-builder.ini")
+                       and "soap3-dp-builder.ini")
+    if ini:
+        cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+        cp.read(ini)
+        try:
+            args.sa_rate = cp.getint("BuildIndex", "SaValueFreq")
+        except (configparser.Error, ValueError):
+            pass
 
     from soap3dp_tpu.index.builder import build_index, save_index
     from soap3dp_tpu.index.packing import pack_fasta

@@ -124,3 +124,37 @@ MaxFrontLenClipped = 5
     assert o.bwa_like_score is False
     assert o.max_mapq == 30
     assert o.max_front_clip == 5
+
+
+def test_cli_illumina13_quals(workdir):
+    """-I shifts phred+64 qualities to phred+33 in the SAM output."""
+    d, pos, B, L, INS = workdir
+    # rewrite s.fq with phred+64 style quals ('h' = Q40+64)
+    fq = d / "s64.fq"
+    src = open(d / "s.fq").read().splitlines()
+    with open(fq, "w") as f:
+        for i in range(0, len(src), 4):
+            f.write(f"{src[i]}\n{src[i+1]}\n+\n{'h' * len(src[i+1])}\n")
+    from soap3dp_tpu.cli.main import main
+    rc = main(["single", str(d / "g.fa.index"), str(fq), "-I",
+               "-o", str(d / "out_i")])
+    assert rc == 0
+    recs = [l.split("\t") for l in open(d / "out_i.sam") if not l.startswith("@")]
+    # 'h'(104) - 31 = 'I'(73) = Q40 in phred+33
+    assert all(set(r[10]) == {"I"} for r in recs)
+
+
+def test_builder_ini(tmp_path):
+    import numpy as np
+    from soap3dp_tpu.utils import dna
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, 4000).astype(np.uint8)
+    fa = tmp_path / "x.fa"
+    fa.write_text(">c\n" + dna.decode(codes).decode() + "\n")
+    ini = tmp_path / "b.ini"
+    ini.write_text("[BuildIndex]\nSaValueFreq = 4\n")
+    from soap3dp_tpu.cli.builder import main as bmain
+    assert bmain([str(fa), "--ini", str(ini)]) == 0
+    from soap3dp_tpu.index.builder import load_index
+    idx = load_index(str(fa) + ".index.t3i")
+    assert idx.sa_rate == 4
