@@ -107,7 +107,7 @@ class Candidates:
     pos: np.ndarray     # (M,) int64 candidate read-start text position
 
 
-@partial(jax.jit, static_argnames=("occ_cap", "max_steps", "K"))
+@partial(jax.jit, static_argnames=("occ_cap", "max_steps", "K", "lut_only"))
 def _seed_cand_batch(
     idx: DeviceIndex,
     reads: jax.Array,      # (B, L) uint8 forward codes
@@ -117,11 +117,17 @@ def _seed_cand_batch(
     occ_cap: int,
     max_steps: int,
     K: int,
+    lut_only: bool = False,
 ):
     """Device half of seed_candidates: search + compacted SA decode.
 
     Returns (row, pos, valid, total): row is the oriented row id,
     pos the (clamped-at-0) candidate read-start text position.
+
+    With ``lut_only`` (4^lut_k >= genome size) seeds truncate to the
+    LUT width and the whole search is one table gather per lane — the
+    same fast path as the primary seed search; noisier candidates are
+    filtered by the DP cutoff / anchor joins downstream.
     """
     B, L = reads.shape
     S = seed_pos.shape[1]
@@ -131,12 +137,21 @@ def _seed_cand_batch(
     sp = jnp.concatenate([seed_pos, seed_pos], axis=0)
     sl2 = jnp.concatenate([seed_len, seed_len]).astype(jnp.int32)
     ln2 = jnp.concatenate([lens, lens]).astype(jnp.int32)
+    if lut_only:
+        sl2 = jnp.minimum(sl2, idx.lut_k)
     sp = jnp.minimum(sp, jnp.maximum(ln2 - sl2, 0)[:, None])
     slen_arr = jnp.broadcast_to(jnp.minimum(sl2, ln2)[:, None], sp.shape)
     rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
-    l, r = fmindex.backward_search(
-        idx, oriented[rows], sp.reshape(-1), slen_arr.reshape(-1),
-        max_steps=max_steps)
+    if lut_only:
+        km = fmindex.rolling_kmer_codes(oriented, idx.lut_k)
+        m = jnp.take_along_axis(km, jnp.clip(sp, 0, L - 1), axis=1)
+        m = m.reshape(-1).astype(jnp.int32)
+        l = idx.lut_lo[m]
+        r = idx.lut_hi[m]
+    else:
+        l, r = fmindex.backward_search(
+            idx, oriented[rows], sp.reshape(-1), slen_arr.reshape(-1),
+            max_steps=max_steps)
     width = r - l
     slot = jnp.arange(occ_cap, dtype=jnp.uint32)[None, :]
     ok = slot < jnp.minimum(width, U32(occ_cap))[:, None]     # (R*S, cap)
@@ -186,6 +201,10 @@ def seed_candidates(
     # static bound yields a bounded jit-cache set
     msl = int(seed_len.max()) if seed_len.size else 0
     max_steps = max(msl - idx.lut_k, min(idx.lut_k, msl))
+    # NOTE: truncating rescue seeds to the LUT width (lut_only) was
+    # measured a net loss — the unverified 14bp-seed noise multiplies
+    # DP problems downstream. Rescue seeds keep their staged lengths.
+    lut_only = False
     K = shapes.bucket(R * S * 2, min_size=1024)
     K_max = R * S * occ_cap
     with timers.stage("dp.seed_cand"):
@@ -193,7 +212,7 @@ def seed_candidates(
             packed, total = _seed_cand_batch(
                 idx, jnp.asarray(reads), jnp.asarray(lens, jnp.int32),
                 jnp.asarray(seed_pos, jnp.int32), jnp.asarray(seed_len, jnp.int32),
-                occ_cap, max_steps, min(K, K_max))
+                occ_cap, max_steps, min(K, K_max), lut_only=lut_only)
             t = int(total)
             if t <= K or K >= K_max:
                 break

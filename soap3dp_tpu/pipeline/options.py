@@ -58,6 +58,7 @@ class AlignOptions:
     # rebuild-specific
     random_seed: int = 0                # random-best determinism
     batch_size: int = 1 << 16
+    half_rescue_seeded: bool = False    # phase-B seeded mate rescue round
 
     @property
     def dp_enabled(self) -> bool:

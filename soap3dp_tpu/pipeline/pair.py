@@ -538,6 +538,17 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
     """
     rescued_all: list[np.ndarray] = []
     remaining = half
+    # round 0 — phase B analog (newSemiGlobalDP, DV-SemiDP.cu:345):
+    # seed the hitless mate and DP narrow windows around seeded loci
+    # that satisfy an anchor's insert range. Off by default: with the
+    # full-window DP already batched, the extra seeding stage costs
+    # more than it saves on this hardware (opts.half_rescue_seeded).
+    if opts.half_rescue_seeded:
+        got = _half_seeded_round(index, didx, b1, b2, t1, t2, st1, st2,
+                                 remaining, lens1, lens2, opts, sc, writer)
+        if got.size:
+            rescued_all.append(got)
+            remaining = np.setdiff1d(remaining, got, assume_unique=True)
     for max_anchors in (2, MAX_ANCHORS):
         if remaining.size == 0:
             break
@@ -549,6 +560,113 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
             rescued_all.append(got)
             remaining = np.setdiff1d(remaining, got, assume_unique=True)
     return np.concatenate(rescued_all) if rescued_all else np.zeros(0, int)
+
+
+def _half_seeded_round(index, didx, b1, b2, t1, t2, st1, st2, half,
+                       lens1, lens2, opts, sc, writer) -> np.ndarray:
+    """Seeded narrow-window mate rescue for pairs with exactly one
+    hitless end."""
+    u, v = opts.max_insert, opts.min_insert
+    hitless1 = st1.best_nmis[half] < 0
+    hitless2 = st2.best_nmis[half] < 0
+    one = hitless1 ^ hitless2
+    sel = half[one]
+    if sel.size == 0:
+        return np.zeros(0, int)
+    mate_is_2 = hitless2[one]          # True: end2 is the hitless mate
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+    ns = len(sel)
+    mreads = np.zeros((ns, L), np.uint8)
+    mlens = np.zeros(ns, np.int32)
+    m2i = np.flatnonzero(mate_is_2)
+    m1i = np.flatnonzero(~mate_is_2)
+    mreads[m2i, :b2.codes.shape[1]] = b2.codes[sel[m2i]]
+    mreads[m1i, :b1.codes.shape[1]] = b1.codes[sel[m1i]]
+    mlens[m2i] = lens2[sel[m2i]]
+    mlens[m1i] = lens1[sel[m1i]]
+
+    sp, sl = dp_rescue.single_dp_seed_matrix(mlens, L)
+    cand = dp_rescue.seed_candidates(didx, mreads, mlens, sp, sl)
+    if cand.read.size == 0:
+        return np.zeros(0, int)
+
+    # join candidates to the anchor table of the OTHER end: keep a
+    # candidate when some anchor makes a proper pair with it
+    keep = np.zeros(cand.read.shape[0], bool)
+    arow = np.zeros(cand.read.shape[0], np.int64)
+    anchors_t = np.where(mate_is_2[cand.read], 0, 1)  # 0: anchors in t1
+    for which, tab in ((0, t1), (1, t2)):
+        ci = np.flatnonzero(anchors_t == which)
+        if not ci.size:
+            continue
+        pairs_b = sel[cand.read[ci]]
+        cnt = np.minimum(tab.counts()[pairs_b], MAX_ANCHORS).astype(np.int64)
+        rep = np.repeat(ci, cnt)
+        rk = np.arange(len(rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        rows = tab.start[sel[cand.read[rep]]] + rk
+        apos = tab.pos[rows].astype(np.int64)
+        astr = tab.strand[rows].astype(np.int64)
+        cpos = cand.pos[rep]
+        cstr = cand.strand[rep].astype(np.int64)
+        alen = np.where(anchors_t[rep] == 0, lens1[sel[cand.read[rep]]],
+                        lens2[sel[cand.read[rep]]]).astype(np.int64)
+        mlen = mlens[cand.read[rep]].astype(np.int64)
+        left_a = apos <= cpos
+        ins = np.where(left_a, cpos + mlen - apos, apos + alen - cpos)
+        okj = np.where(
+            left_a,
+            (astr == opts.strand_left_leg) & (cstr == opts.strand_right_leg),
+            (cstr == opts.strand_left_leg) & (astr == opts.strand_right_leg))
+        okj &= (ins >= v) & (ins <= u)
+        # first matching anchor per candidate
+        good = np.flatnonzero(okj)
+        if good.size:
+            firstg = np.unique(rep[good], return_index=True)[1]
+            gi = good[firstg]
+            keep[rep[gi]] = True
+            arow[rep[gi]] = rows[gi]
+    if not keep.any():
+        return np.zeros(0, int)
+    ki = np.flatnonzero(keep)
+    cand2 = dp_rescue.Candidates(read=cand.read[ki], strand=cand.strand[ki],
+                                 pos=cand.pos[ki])
+    arow = arow[ki]
+    margin = dp_rescue.dp_margin(mlens[cand2.read])
+    ws = np.maximum(cand2.pos - margin, 0)
+    wl = np.minimum(mlens[cand2.read] + 2 * margin,
+                    int(index.n) - ws).astype(np.int32)
+    M = len(ki)
+    clip_l = np.where(cand2.strand == 1, opts.max_end_clip, opts.max_front_clip)
+    clip_r = np.where(cand2.strand == 1, opts.max_front_clip, opts.max_end_clip)
+    res = dp_rescue.run_banded_dp(
+        didx, mreads, mlens, cand2, ws, wl, int(wl.max()), clip_l, clip_r,
+        np.full(M, int(wl.max()) + 1, np.int32), np.zeros(M, np.int32),
+        opts.dp_cutoff(mlens[cand2.read]), sc, index_host=index)
+    if res.read.size == 0:
+        return np.zeros(0, int)
+    order = np.lexsort((res.pos, -res.score, res.read))
+    rr = res.read[order]
+    firstw = np.concatenate([[True], rr[1:] != rr[:-1]])
+    rescued = []
+    for i in order[firstw]:
+        ci = int(res.problem[i])
+        sub = int(res.read[i])
+        b = int(sel[sub])
+        is2 = bool(mate_is_2[sub])     # True: mate = end2, anchor = end1
+        ta_, sta, batch_a = (t1, st1, b1) if is2 else (t2, st2, b2)
+        r = int(arow[ci])
+        mq_a = int(mapq.bwa_like_single(sta.x0[b], sta.x1[b])[()]) \
+            if opts.bwa_like_score else opts.max_mapq
+        e_anchor = _gapless_end(index, batch_a, ta_, r, b, mq_a, sta, opts)
+        e_mate = _dp_end(index, res, i, int(mlens[sub]), opts)
+        e_mate.mapq = min(mq_a, 29)
+        if is2:
+            emit_pair(writer, b1, b2, b, e_anchor, e_mate, proper=True)
+        else:
+            emit_pair(writer, b1, b2, b, e_mate, e_anchor, proper=True)
+        rescued.append(b)
+    return np.asarray(rescued, int)
 
 
 def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,

@@ -267,3 +267,26 @@ def test_long_reads_200bp(small_index, small_device_index, small_genome):
             assert "D" in r["cigar"]
         else:
             assert r["cigar"] == f"{L}M"
+
+
+def test_pair_half_rescue_seeded_round(small_index, small_device_index,
+                                       small_genome, rng):
+    """Optional phase-B seeded mate rescue (half_rescue_seeded=True)."""
+    codes = small_genome.codes
+    L = 40
+    insert = 180
+    p = int(rng.integers(100, len(codes) - 500))
+    left = codes[p:p + L].copy()
+    right_src = codes[p + insert - L:p + insert].copy()
+    right_src[5] = (right_src[5] + 1) % 4
+    right_src[15] = (right_src[15] + 1) % 4
+    right_src[25] = (right_src[25] + 1) % 4  # 3 mismatches: BWT misses at k=2
+    right = dna.revcomp_codes(right_src)
+    summary, recs = run_pair(small_index, small_device_index,
+                             make_batch([left]), make_batch([right]),
+                             min_insert=100, max_insert=300,
+                             half_rescue_seeded=True)
+    assert summary.paired_dp == 1
+    r2 = next(r for r in recs if r["flag"] & 0x80)
+    assert r2["pos"] == p + insert - L + 1
+    assert r2["flag"] & 0x2
