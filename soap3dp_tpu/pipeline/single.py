@@ -127,11 +127,39 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
     n_sel_per_read = np.bincount(
         table.read_id[selected], minlength=len(stats.x0)) if selected.any() \
         else np.zeros(len(stats.x0), np.int64)
-    cols = zip(reads_sel.tolist(), prim_rows.tolist(), chrom.tolist(),
-               off.tolist(), strands.tolist(),
-               mq[reads_sel].tolist(), table.nmis[prim_rows].tolist(),
-               stats.x0[reads_sel].tolist(), stats.x1[reads_sel].tolist(),
-               n_sel_per_read[reads_sel].tolist())
+
+    # fast path: single-placement records through the columnar block
+    # writer (no XA/MD) when the output format supports it
+    nsel_arr = n_sel_per_read[reads_sel]
+    fast = (nsel_arr <= 1) & (not opts.output_md)
+    if fast.any() and hasattr(writer, "write_block"):
+        fi = np.flatnonzero(fast)
+        bsel = reads_sel[fi]
+        cig_cache: dict[int, bytes] = {}
+
+        def cig(rl):
+            c = cig_cache.get(rl)
+            if c is None:
+                c = cig_cache[rl] = b"%dM" % rl
+            return c
+
+        writer.write_block(
+            [batch.names[b] for b in bsel],
+            np.where(strands[fi] == 1, sam.FLAG_REVERSE, 0),
+            chrom[fi], off[fi], np.asarray(mq)[bsel],
+            [cig(int(batch.lens[b])) for b in bsel],
+            np.zeros(len(fi), np.int32))
+        keep = ~fast
+    else:
+        keep = np.ones(len(reads_sel), bool)
+
+    cols = zip(reads_sel[keep].tolist(), prim_rows[keep].tolist(),
+               chrom[keep].tolist(),
+               off[keep].tolist(), strands[keep].tolist(),
+               mq[reads_sel[keep]].tolist(), table.nmis[prim_rows[keep]].tolist(),
+               stats.x0[reads_sel[keep]].tolist(),
+               stats.x1[reads_sel[keep]].tolist(),
+               n_sel_per_read[reads_sel[keep]].tolist())
     for b, p, ch, of, strand, m, nmis, x0, x1, nsel in cols:
         rlen = int(batch.lens[b])
         tags = [f"X0:i:{x0}", f"X1:i:{x1}", f"XM:i:{nmis}", "XO:i:0",

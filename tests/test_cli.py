@@ -158,3 +158,17 @@ def test_builder_ini(tmp_path):
     from soap3dp_tpu.index.builder import load_index
     idx = load_index(str(fa) + ".index.t3i")
     assert idx.sa_rate == 4
+
+
+def test_cli_single_succinct(workdir, capsys):
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+    rc = main(["single", str(d / "g.fa.index"), str(d / "s.fq"),
+               "-b", "1", "-o", str(d / "out_ss")])
+    assert rc == 0
+    from soap3dp_tpu.io.succinct import read_succinct
+    names, lens, recs = read_succinct(str(d / "out_ss.gout"))
+    assert len(recs) == B
+    by = {r[0]: r for r in recs}
+    for b in range(B):
+        assert by[b"p%d" % b][3] == pos[b]  # 0-based positions match
