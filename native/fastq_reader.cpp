@@ -31,6 +31,7 @@ struct Reader {
   int len;   // bytes in buf
   int pos;   // cursor
   bool eof;
+  bool err;  // gzread reported a decompression/CRC error
   int format;  // 0 = unknown, 1 = FASTA, 2 = FASTQ
   // pending FASTA record state: header of the NEXT record already read
   char pending_name[256];
@@ -44,7 +45,12 @@ struct Reader {
       pos = 0;
     }
     int got = gzread(gz, buf + len, kBufSize - len);
-    if (got <= 0) {
+    if (got < 0) {
+      // CRC error / truncated gzip: surface as a parse error, not EOF,
+      // so damaged inputs are not silently read as shorter files.
+      err = true;
+      eof = true;
+    } else if (got == 0) {
       eof = true;
     } else {
       len += got;
@@ -102,6 +108,7 @@ void* fqr_open(const char* path) {
   r->buf = (unsigned char*)malloc(kBufSize);
   r->len = r->pos = 0;
   r->eof = false;
+  r->err = false;
   r->format = 0;
   r->has_pending = false;
   return r;
@@ -128,7 +135,10 @@ int64_t fqr_next_batch(void* h, int64_t batch, int64_t maxlen,
     line = (char*)realloc(line, need);
     line_cap = need;
   }
-  flags[0] = 1;  // has_qual until proven FASTA
+  // has_qual follows the persistent detected format (FASTA batches after
+  // the first must keep reporting has_qual=0); defaults to 1 while the
+  // format is still unknown and is re-derived before every return below.
+  flags[0] = (r->format != 1);
   int64_t out = 0;
   while (out < batch) {
     unsigned char* crow = codes + out * maxlen;
@@ -212,7 +222,8 @@ int64_t fqr_next_batch(void* h, int64_t batch, int64_t maxlen,
       out++;
     }
   }
-  return out;
+  flags[0] = (r->format != 1);
+  return r->err ? -1 : out;
 }
 
 }  // extern "C"

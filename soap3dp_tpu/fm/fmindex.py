@@ -214,8 +214,10 @@ def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
     README.md section 2.1, pays the same memory for the same win).
     """
     if idx.sa_rate == 1:
-        safe = jnp.where(valid, rows, U32(0)).astype(jnp.int32)
-        return jnp.where(valid, idx.sa_samples[safe], U32(0))
+        # Keep the gather index unsigned: casting to int32 would wrap rows
+        # above 2^31 negative at >2 Gbp genome scale and silently clamp.
+        safe = jnp.where(valid, rows, U32(0))
+        return jnp.where(valid, jnp.take(idx.sa_samples, safe), U32(0))
     rows = jnp.where(valid, rows, U32(0))
     done = ~valid
     result = jnp.zeros_like(rows)

@@ -97,7 +97,8 @@ class NativeReader:
             names, NAME_STRIDE,
             flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         if n < 0:
-            raise ValueError(f"{self.path}: not FASTA or FASTQ")
+            raise ValueError(
+                f"{self.path}: parse error (not FASTA/FASTQ, or corrupt gzip)")
         if n == 0:
             return None
         if flags[1] and not self._warned:

@@ -188,6 +188,46 @@ def test_native_reader_fasta(tmp_path):
     assert bytes(b.codes[0, :8]) == bytes([0, 1, 2, 3, 0, 1, 2, 3])
 
 
+def test_native_reader_fasta_multibatch_has_no_quals(tmp_path):
+    """FASTA spanning several batches must report quals=None for EVERY
+    batch (regression: has_qual was reset to 1 on non-first batches)."""
+    from soap3dp_tpu.io import fastq, fastq_native
+
+    if not fastq_native.available():
+        import pytest
+        pytest.skip("no native reader")
+    fa = tmp_path / "many.fa"
+    with open(fa, "w") as f:
+        for i in range(25):
+            f.write(f">r{i}\nACGTACGT\n")
+    batches = list(fastq.read_single(str(fa), batch_size=10, max_len=16))
+    assert len(batches) == 3
+    for b in batches:
+        assert b.quals is None
+
+
+def test_native_reader_corrupt_gzip_raises(tmp_path):
+    """A truncated/corrupt gzip must raise, not silently parse short."""
+    import gzip as gz
+    import pytest
+    from soap3dp_tpu.io import fastq, fastq_native
+
+    if not fastq_native.available():
+        pytest.skip("no native reader")
+    good = tmp_path / "ok.fq.gz"
+    payload = b"".join(
+        b"@r%d\nACGTACGTACGTACGTACGTACGTACGT\n+\n" % i +
+        b"I" * 28 + b"\n" for i in range(2000))
+    with gz.open(good, "wb") as f:
+        f.write(payload)
+    data = good.read_bytes()
+    bad = tmp_path / "bad.fq.gz"
+    bad.write_bytes(data[: len(data) // 2])  # truncate mid-stream
+    with pytest.raises(ValueError):
+        for _ in fastq.read_single(str(bad), batch_size=100, max_len=32):
+            pass
+
+
 def test_prefetch_iterator():
     from soap3dp_tpu.io.aio import prefetch
 
