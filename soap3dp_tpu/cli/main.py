@@ -34,6 +34,12 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-c", dest="device", default=None,
                     help="accepted for compatibility; device selection is "
                          "managed by JAX")
+    ap.add_argument("--devices", type=int, default=1, dest="devices",
+                    help="number of accelerator chips to use (0 = all). "
+                         "The index is replicated per chip and read batches "
+                         "are sharded over the device mesh — the TPU analog "
+                         "of the reference's one-process-per-GPU ShareIndex "
+                         "recipe (README section 3)")
     ap.add_argument("-I", action="store_true", dest="illumina13",
                     help="Illumina 1.3+ quality encoding")
     ap.add_argument("-A", dest="sample_name", default="default")

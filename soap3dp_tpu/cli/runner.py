@@ -13,7 +13,7 @@ import sys
 import time
 
 
-def _load(index_arg: str):
+def _load(index_arg: str, devices: int = 1):
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.index.builder import load_index
     from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
@@ -23,7 +23,21 @@ def _load(index_arg: str):
     path = index_arg if index_arg.endswith(".t3i") else index_arg + ".t3i"
     t0 = time.time()
     index = load_index(path)
-    didx = device_index(index)
+    if devices == 1:
+        didx = device_index(index)
+    else:
+        # multi-chip: replicate the index into every chip's HBM and let
+        # every pipeline stage shard its batches over the mesh
+        # (discovered downstream via distributed.mesh.mesh_of)
+        import jax
+
+        from soap3dp_tpu.distributed import mesh as dmesh
+
+        avail = jax.devices()
+        n = len(avail) if devices == 0 else min(devices, len(avail))
+        m = dmesh.make_mesh(avail[:n])
+        didx = dmesh.replicate_index(index, m)
+        print(f"[soap3dp] device mesh: {n} chips", file=sys.stderr)
     print(f"[soap3dp] index loaded in {time.time() - t0:.2f}s "
           f"({index.n} bp, {len(index.names)} sequences)", file=sys.stderr)
     return index, didx
@@ -65,7 +79,7 @@ def run_single(args) -> int:
     from soap3dp_tpu.io.aio import prefetch
 
     opts = _build_options(args, args.reads)
-    index, didx = _load(args.index)
+    index, didx = _load(args.index, getattr(args, "devices", 1))
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         for batch in prefetch(read_single(args.reads, opts.batch_size,
@@ -90,7 +104,7 @@ def run_pair(args) -> int:
     from soap3dp_tpu.pipeline.pair import dispatch_pair_search
 
     opts = _build_options(args, args.reads1)
-    index, didx = _load(args.index)
+    index, didx = _load(args.index, getattr(args, "devices", 1))
     total = PairSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         # double-buffered batch loop: the next batch's device search runs

@@ -36,6 +36,45 @@ def make_mesh(devices=None, axis: str = "reads") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def mesh_of(didx: DeviceIndex) -> Mesh | None:
+    """The mesh a DeviceIndex was replicated onto, or None (single chip).
+
+    The pipeline discovers multi-chip mode from the index upload: load
+    with `replicate_index(index, mesh)` and every downstream stage
+    (seed search, DP rescue) shards its batches over the same mesh —
+    the one-switch analog of the reference's one-process-per-GPU +
+    shared-index recipe (README.md section 3, IndexHandler.cpp:180-226).
+    """
+    sh = getattr(didx.fmi, "sharding", None)
+    m = getattr(sh, "mesh", None)
+    if m is None:
+        return None
+    if getattr(m, "empty", False):
+        return None
+    try:
+        if m.devices.size <= 1:
+            return None
+    except Exception:
+        return None
+    return m
+
+
+def shard_rows(mesh: Mesh, *arrays):
+    """device_put each array row-sharded over the mesh's first axis.
+
+    Rows must already be padded to a multiple of the mesh size
+    (see pad_to_mesh)."""
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    out = tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def pad_to_mesh(mesh: Mesh, n: int, quantum: int = 1) -> int:
+    """Smallest padded size >= n that is a multiple of mesh_size*quantum."""
+    q = mesh.devices.size * quantum
+    return max(q, -(-int(n) // q) * q)
+
+
 def replicate_index(index: Index, mesh: Mesh, shard_sa: bool = False
                     ) -> DeviceIndex:
     """Upload the index to every chip in the mesh.

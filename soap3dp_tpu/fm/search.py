@@ -304,17 +304,33 @@ class PendingSearch:
 
     def __init__(self, idx: DeviceIndex, reads, lens,
                  cfg: SearchConfig = SearchConfig()):
+        from soap3dp_tpu.distributed import mesh as dmesh
+
         self.idx = idx
         self.cfg = cfg
+        self.mesh = dmesh.mesh_of(idx)
         self.reads_h = np.asarray(reads)
         self.lens_h = np.asarray(lens).astype(np.int32)
-        self.lens = jnp.asarray(self.lens_h)
+        self.B_ext = self.reads_h.shape[0]
+        if self.mesh is not None and self.B_ext:
+            # shard the batch over the mesh (data parallel over reads);
+            # pad to a mesh multiple with copies of read 0, stripped from
+            # the results by _strip_pad
+            Bp = dmesh.pad_to_mesh(self.mesh, self.B_ext)
+            self.reads_h = shapes.pad_rows(self.reads_h, Bp)
+            self.lens_h = shapes.pad_rows(self.lens_h, Bp)
         self.B, self.L = self.reads_h.shape
         S = cfg.num_seeds
         if self.B == 0:
             return
+        if self.mesh is not None:
+            self.lens = dmesh.shard_rows(self.mesh, self.lens_h)
+        else:
+            self.lens = jnp.asarray(self.lens_h)
         # 2-bit pack before upload: 4x less H2D traffic per batch
-        self.packed = jnp.asarray(pack_read_matrix(self.reads_h))
+        packed_h = pack_read_matrix(self.reads_h)
+        self.packed = dmesh.shard_rows(self.mesh, packed_h) \
+            if self.mesh is not None else jnp.asarray(packed_h)
         max_len = int(self.lens_h.max())
         min_len = int(self.lens_h.min())
         self.min_seg = min_len // S
@@ -333,6 +349,21 @@ class PendingSearch:
             idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
             self.seed_q, min(self.K, self.K_max), L=self.L,
             K2=min(self.K2, self.K_max))
+
+    def _strip_pad(self, h: HitArrays) -> HitArrays:
+        """Drop hits of mesh-padding rows and remap oriented row ids
+        back to the caller's (unpadded) batch size."""
+        if self.B == self.B_ext:
+            return h
+        row, tp, nm, va, fl = h.to_host()
+        Bp, Be = self.B, self.B_ext
+        strand = (row >= Bp) & va
+        rid = row - strand.astype(np.int32) * Bp
+        keep = va & (rid < Be)
+        return HitArrays(
+            row=(rid[keep] + strand[keep].astype(np.int32) * Be).astype(np.int32),
+            tp=tp[keep], nmis=nm[keep],
+            valid=np.ones(int(keep.sum()), bool), flagged=fl[:Be])
 
     def result(self) -> HitArrays:
         cfg = self.cfg
@@ -365,21 +396,30 @@ class PendingSearch:
                              flagged=hits.flagged)
         flagged = np.asarray(hits.flagged)
         if not flagged.any():
-            return hits
+            return self._strip_pad(hits)
 
         # round 2: full segments + bigger budget for the flagged reads
         # only, padded to a power-of-two bucket for executable reuse.
+        from soap3dp_tpu.distributed import mesh as dmesh
+
         sel = np.flatnonzero(flagged)
         nb = min(shapes.bucket(len(sel), min_size=64), B)
+        if self.mesh is not None:
+            nb = min(dmesh.pad_to_mesh(self.mesh, nb), B)
         reads_h = self.reads_h
         sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
             if len(sel) < nb else sel[:nb]
         steps2 = _steps_for(self.idx, self.longest_seg,
                             min(self.min_seg, self.longest_seg))
-        hits2 = _run_compacted(self.idx, jnp.asarray(reads_h[sel_pad]),
-                               jnp.asarray(self.lens_h[sel_pad]), cfg,
+        if self.mesh is not None:
+            r2, l2 = dmesh.shard_rows(self.mesh, reads_h[sel_pad],
+                                      self.lens_h[sel_pad])
+        else:
+            r2 = jnp.asarray(reads_h[sel_pad])
+            l2 = jnp.asarray(self.lens_h[sel_pad])
+        hits2 = _run_compacted(self.idx, r2, l2, cfg,
                                cfg.occ_cap_round2, steps2, 0, nb, S)
-        return _merge_round2(hits, hits2, sel, B, nb)
+        return self._strip_pad(_merge_round2(hits, hits2, sel, B, nb))
 
 
 def search_reads(

@@ -220,6 +220,18 @@ def _dp_forward_scan(
 
 
 PALLAS_P_TILE = 64  # problems per grid step (u8 dirs tile wants >= 32 sublanes)
+MAX_RUNS = 128      # fused-kernel run budget; see _max_runs_bound()
+_VMEM_BUDGET = 12 * 1024 * 1024  # dirs scratch budget (16MB VMEM - headroom)
+
+
+def _max_runs_bound(max_read_len: int) -> int:
+    """Upper bound on CIGAR runs for an alignment passing the 0.3*L
+    cutoff: every non-match run costs >= 3 score (mismatch: lost match
+    + penalty; gap: open), so #non-match runs <= 0.7L/3 and total runs
+    <= 2*that + 3 bracketing runs (right clip, insert tail, left clip).
+    Rounded up to a lane multiple — Mosaic wants 128-aligned carries."""
+    n = 2 * (7 * max_read_len // 30) + 4
+    return -(-n // 128) * 128
 
 
 def _dp_forward_pallas_kernel(params_ref, reads_ref, wins_ref,
@@ -572,3 +584,356 @@ def _rle_runs(S: np.ndarray, rclip: np.ndarray, ins_tail: np.ndarray,
     ops[rows_r, col] = ops_r
     cnts_d[rows_r, col] = cnts_r
     return ops, cnts_d, nrun
+
+
+# ------------------------------------------------------------------
+# Fused forward + traceback (the production TPU path)
+# ------------------------------------------------------------------
+
+def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
+                            stats_ref, runs_ref, dirs_s, *, sc: DPScores,
+                            ND: int, Lw: int, MR: int):
+    """Forward DP + in-kernel traceback + run-length encoding.
+
+    The direction bytes live only in the VMEM scratch ``dirs_s`` — they
+    never touch HBM (the reference pays a full DP-table round trip per
+    problem, DV-DPfunctions.cu:146-512; round 1's own HBM dirs tensor
+    was the measured bottleneck of every DP rescue stage). The reverse
+    sweep emits CIGAR runs directly: per step a one-hot flush into a
+    (PT, MR) runs register, so the host receives finished
+    (ops, cnts, nrun) arrays instead of a per-diagonal op stream.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    PT, Lr1 = reads_ref.shape
+    m, mm, go, ge, gi = sc.match, sc.mismatch, sc.gap_open, sc.gap_ext, sc.gap_init
+    i_vec = jax.lax.broadcasted_iota(jnp.int32, (PT, Lr1), 1)
+    rlens = params_ref[:, 0:1]
+    wlens = params_ref[:, 1:2]
+    clip_l = params_ref[:, 2:3]
+    clip_r = params_ref[:, 3:4]
+    anchor_l = params_ref[:, 4:5]
+    anchor_r = params_ref[:, 5:6]
+    cutoff = params_ref[:, 6:7]
+    reads_pad = reads_ref[:]
+    wins_all = wins_ref[:]
+    wlane = jax.lax.broadcasted_iota(jnp.int32, wins_all.shape, 1)
+
+    col0_raw = jnp.where(i_vec == 0, 0,
+                         jnp.where(i_vec <= clip_l, go,
+                                   gi + ge * (i_vec - jnp.minimum(clip_l, i_vec))))
+    col0_H = _clamp(col0_raw)
+    col0_D = _clamp(col0_raw + gi)
+
+    is_lane0 = i_vec == 0
+    # runtime-zero the compiler cannot fold away (rlens >= 0, i_vec >= 0,
+    # so min(.,0) == 0), forcing full vector layouts on the loop carries
+    zf = jnp.minimum(i_vec + rlens, 0)
+    h0 = jnp.where(is_lane0, 0, NEG_BIG) + zf
+    d0 = jnp.where(is_lane0, _clamp(jnp.int32(gi)), NEG_BIG) + zf
+    i0 = jnp.full((PT, Lr1), NEG_BIG, jnp.int32) + zf
+    hm1 = jnp.full((PT, Lr1), NEG_BIG, jnp.int32) + zf
+    chars0 = jnp.full((PT, Lr1), -1, jnp.int32) + zf
+    zf1 = jnp.minimum(rlens, 0)
+    best0 = (jnp.full((PT, 1), NEG, jnp.int32) + zf1, zf1, zf1, zf1)
+
+    def fwd_step(dm1, carry):
+        H1, H2, D1, I1, chars, (bS, bJ, bI, bC) = carry
+        d = dm1 + 1
+        j_vec = d - i_vec
+        wsel = jnp.minimum(dm1, Lw - 1)
+        newc = jnp.where(wlane == wsel, wins_all, 0).sum(axis=1, keepdims=True)
+        chars = jnp.where(is_lane0, newc, pltpu.roll(chars, 1, axis=1))
+
+        init_j = jnp.where(j_vec < anchor_l, 0, NEG)
+        init_jm1 = jnp.where(j_vec - 1 < anchor_l, 0, NEG)
+        fresh_ok = (i_vec - 1) <= clip_l
+        dist = jnp.where(chars == reads_pad, m, mm)
+
+        d_open = go + H1
+        d_ext = ge + D1
+        D_new = _clamp(jnp.maximum(d_open, d_ext))
+        dD = (d_ext > d_open).astype(jnp.int32)
+
+        def shift(v):
+            return jnp.where(is_lane0, NEG_BIG, pltpu.roll(v, 1, axis=1))
+
+        H1s, I1s, H2s = shift(H1), shift(I1), shift(H2)
+        i_fresh = jnp.where(fresh_ok, init_j + go, NEG_BIG)
+        i_open = go + H1s
+        i_ext = ge + I1s
+        I_new = _clamp(jnp.maximum(i_fresh, jnp.maximum(i_open, i_ext)))
+        dI = jnp.where(I_new == i_fresh, DI_FRESH,
+                       jnp.where(I_new == i_open, DI_OPEN, DI_EXT))
+
+        diag_true = dist + H2s
+        diag_fresh = jnp.where(fresh_ok, init_jm1 + dist, NEG_BIG)
+        H_new = _clamp(jnp.maximum(jnp.maximum(diag_true, diag_fresh),
+                                   jnp.maximum(D_new, I_new)))
+        dH = jnp.where(H_new == diag_true, DH_DIAG,
+                       jnp.where((H_new == d_open) | (H_new == d_ext), DH_D,
+                                 jnp.where(H_new == diag_fresh, DH_SM, DH_I)))
+
+        on_col0 = i_vec == d
+        H_new = jnp.where(on_col0, col0_H, H_new)
+        D_new = jnp.where(on_col0, col0_D, D_new)
+        I_new = jnp.where(on_col0, NEG_BIG, I_new)
+        H_new = jnp.where(is_lane0, _clamp(init_j), H_new)
+        D_new = jnp.where(is_lane0, NEG_BIG, D_new)
+        I_new = jnp.where(is_lane0, _clamp(init_j + gi), I_new)
+
+        byte = (dH | (dD << 2) | (dI << 3)
+                | ((chars == reads_pad).astype(jnp.int32) << 5))
+        dirs_s[dm1, :, :] = byte.astype(jnp.uint8)
+
+        elig = ((i_vec >= 1) & (i_vec <= rlens) & (j_vec >= 1)
+                & (j_vec <= wlens) & (i_vec >= rlens - clip_r)
+                & (j_vec >= anchor_r))
+        escore = jnp.where(elig, H_new, NEG_BIG)
+        s_star = escore.max(axis=1, keepdims=True)
+        i_star = jnp.where(escore == s_star, i_vec, -1).max(axis=1, keepdims=True)
+        j_star = d - i_star
+        c_star = (escore == s_star).sum(axis=1, dtype=jnp.int32)[:, None]
+        better = (s_star > bS) | (
+            (s_star == bS) & ((j_star < bJ) | ((j_star == bJ) & (i_star < bI))))
+        equal = s_star == bS
+        bC = jnp.where(better, c_star, jnp.where(equal, bC + c_star, bC))
+        bS = jnp.where(better, s_star, bS)
+        bJ = jnp.where(better, j_star, bJ)
+        bI = jnp.where(better, i_star, bI)
+        return H_new, H1, D_new, I_new, chars, (bS, bJ, bI, bC)
+
+    _, _, _, _, _, (bS, bJ, bI, bC) = jax.lax.fori_loop(
+        0, ND, fwd_step, (h0, hm1, d0, i0, chars0, best0))
+
+    # ---- traceback: reverse diagonal sweep over the VMEM dirs ----
+    # loop-carried flags are int32 masks, not bools: Mosaic cannot
+    # legalize i1 vectors in scf.for carries
+    N, DCH, ICH = 0, 1, 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PT, Lr1), 1)
+    mr_lane = jax.lax.broadcasted_iota(jnp.int32, (PT, MR), 1)
+    active = bS >= cutoff
+    zi = jnp.minimum(rlens, 0)  # runtime zero, (PT, 1)
+
+    def put_run(runs_ops, runs_cnts, ridx, of, flush, op, cnt):
+        """One-hot append of a run at per-problem slot ridx."""
+        oh = (mr_lane == ridx) & flush
+        runs_ops = jnp.where(oh, op, runs_ops)
+        runs_cnts = jnp.where(oh, cnt, runs_cnts)
+        of = jnp.where(flush & (ridx >= MR), 1, of)
+        ridx = jnp.where(flush, ridx + 1, ridx)
+        return runs_ops, runs_cnts, ridx, of
+
+    runs_ops0 = jnp.zeros((PT, MR), jnp.int32) + zi
+    runs_cnts0 = jnp.zeros((PT, MR), jnp.int32) + zi
+    rclip = jnp.maximum(rlens - bI, 0)
+    have_rclip = active & (rclip > 0)
+    runs_ops0, runs_cnts0, ridx0, of0 = put_run(
+        runs_ops0, runs_cnts0, zi, zi, have_rclip,
+        jnp.int32(OP_CLIP), rclip)
+
+    tb0 = (jnp.where(active, bI, 0), jnp.where(active, bJ, 0),  # i, j
+           zi, jnp.where(active, 0, 1),                         # state, done
+           zi, zi,                                              # startj, clipv
+           jnp.full((PT, 1), -1, jnp.int32) + zi, zi,           # cur_op, cur_cnt
+           ridx0, of0, runs_ops0, runs_cnts0)
+
+    def tb_step(t, carry):
+        (i, j, state, done, startj, clipv, cur_op, cur_cnt,
+         ridx, of, runs_ops, runs_cnts) = carry
+        d = ND - t
+        dirs_d = dirs_s[d - 1, :, :].astype(jnp.int32)          # (PT, Lr1)
+        act = (done == 0) & (i > 0) & (j > 0) & (i + j == d)
+        oh = lane == i
+        byte = jnp.where(oh, dirs_d, 0).sum(axis=1, keepdims=True)
+        dH = byte & 3
+        dD = (byte >> 2) & 1
+        dI = (byte >> 3) & 3
+        mop = jnp.where((byte >> 5) & 1, OP_MATCH, OP_MISMATCH)
+
+        do_diag = act & (state == N) & (dH == DH_DIAG)
+        do_sm = act & (state == N) & (dH == DH_SM)
+        do_d = act & ((state == DCH) | ((state == N) & (dH == DH_D)))
+        do_i = act & ((state == ICH) | ((state == N) & (dH == DH_I)))
+        i_fresh = do_i & (dI == DI_FRESH)
+
+        op = jnp.where(do_diag | do_sm, mop,
+                       jnp.where(do_d, OP_DEL, OP_INS))
+
+        ni = jnp.where(do_diag | (do_i & ~i_fresh), i - 1, i)
+        nj = jnp.where(do_diag | do_sm | do_d, j - 1, j)
+        nstate = jnp.where(act,
+                           jnp.where(do_d, jnp.where(dD == DD_OPEN, N, DCH),
+                                     jnp.where(do_i & ~i_fresh,
+                                               jnp.where(dI == DI_OPEN, N, ICH),
+                                               N)),
+                           state)
+        exit_now = do_sm | i_fresh
+        clipv = jnp.where(exit_now, i - 1, clipv)
+        startj = jnp.where(do_sm, j - 1, jnp.where(i_fresh, j, startj))
+        done = jnp.where(exit_now, 1, done)
+        i = jnp.where(act, ni, i)
+        j = jnp.where(act, nj, j)
+
+        # run-length encode the emitted op
+        same = act & (op == cur_op)
+        cur_cnt = jnp.where(same, cur_cnt + 1, cur_cnt)
+        new_run = act & ~same
+        flush = new_run & (cur_cnt > 0)
+        runs_ops, runs_cnts, ridx, of = put_run(
+            runs_ops, runs_cnts, ridx, of, flush, cur_op, cur_cnt)
+        cur_op = jnp.where(new_run, op, cur_op)
+        cur_cnt = jnp.where(new_run, 1, cur_cnt)
+        return (i, j, nstate, done, startj, clipv, cur_op, cur_cnt,
+                ridx, of, runs_ops, runs_cnts)
+
+    (i, j, _, done, startj, clipv, cur_op, cur_cnt, ridx, of,
+     runs_ops, runs_cnts) = jax.lax.fori_loop(0, ND, tb_step, tb0)
+
+    # boundary exits (walk ran off the window/read edge)
+    at_j0 = active & (done == 0) & (j == 0) & (i > 0)
+    scl = jnp.minimum(clip_l, i)
+    ins_tail = jnp.where(at_j0, i - scl, 0)
+    clipv = jnp.where(at_j0, scl, clipv)
+    startj = jnp.where(at_j0, 0, startj)
+    at_i0 = active & (done == 0) & (i == 0)
+    startj = jnp.where(at_i0, j, startj)
+
+    # final flush: current run, insert tail, left clip (merging an
+    # insert tail into a trailing insert run, as the host RLE does)
+    merge_ins = active & (cur_cnt > 0) & (ins_tail > 0) & (cur_op == OP_INS)
+    cur_cnt = jnp.where(merge_ins, cur_cnt + ins_tail, cur_cnt)
+    ins_tail = jnp.where(merge_ins, 0, ins_tail)
+    runs_ops, runs_cnts, ridx, of = put_run(
+        runs_ops, runs_cnts, ridx, of, active & (cur_cnt > 0),
+        cur_op, cur_cnt)
+    runs_ops, runs_cnts, ridx, of = put_run(
+        runs_ops, runs_cnts, ridx, of, active & (ins_tail > 0),
+        jnp.int32(OP_INS), ins_tail)
+    runs_ops, runs_cnts, ridx, of = put_run(
+        runs_ops, runs_cnts, ridx, of, active & (clipv > 0),
+        jnp.int32(OP_CLIP), clipv)
+
+    stats_ref[:, 0:1] = bS
+    stats_ref[:, 1:2] = bI
+    stats_ref[:, 2:3] = bJ
+    stats_ref[:, 3:4] = bC
+    stats_ref[:, 4:5] = startj
+    stats_ref[:, 5:6] = jnp.minimum(ridx, MR)
+    stats_ref[:, 6:7] = of
+    stats_ref[:, 7:8] = zi
+    runs_ref[:, :MR] = runs_ops
+    runs_ref[:, MR:] = runs_cnts
+
+
+@partial(jax.jit, static_argnames=("sc", "pt", "mr", "interpret"))
+def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
+                          anchor_l, anchor_r, cutoff, sc: DPScores,
+                          pt: int, mr: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, Lr = reads.shape
+    Lw = wins.shape[1]
+    Lr1 = 128
+    ND = Lr + Lw
+    reads_pad = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int32), reads.astype(jnp.int32),
+         jnp.zeros((P, Lr1 - Lr - 1), jnp.int32)], axis=1)
+    params = jnp.stack(
+        [rlens, wlens, clip_l, clip_r, anchor_l, anchor_r, cutoff,
+         jnp.zeros_like(rlens)], axis=1).astype(jnp.int32)      # (P, 8)
+    grid = (P // pt,)
+    stats, runs = pl.pallas_call(
+        partial(_dp_align_pallas_kernel, sc=sc, ND=ND, Lw=Lw, MR=mr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pt, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pt, Lr1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pt, Lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((pt, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pt, 2 * mr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 8), jnp.int32),
+            jax.ShapeDtypeStruct((P, 2 * mr), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ND, pt, Lr1), jnp.uint8)],
+        interpret=interpret,
+    )(params, reads_pad, wins.astype(jnp.int32))
+    return stats, runs
+
+
+def _fused_tile(ND: int) -> int | None:
+    """Problem-tile size whose dirs scratch fits the VMEM budget."""
+    for pt in (PALLAS_P_TILE, 32):
+        if ND * pt * 128 <= _VMEM_BUDGET:
+            return pt
+    return None
+
+
+def dp_align(
+    reads: jax.Array,    # (P, Lr) uint8 codes (device)
+    rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r,  # as dp_forward
+    cutoff: np.ndarray,  # (P,) int32 score threshold (traceback gate)
+    sc: DPScores = DPScores(),
+    mesh=None,           # shard the problem axis over this mesh
+):
+    """Forward + traceback in one device dispatch; host-ready results.
+
+    Returns numpy ``(score, hit_i, hit_j, n_best, ops, cnts, nrun,
+    startj, overflow)``: ops/cnts are right-to-left CIGAR runs for every
+    lane with score >= cutoff (others have nrun == 0). ``overflow``
+    marks lanes whose run count exceeded the kernel budget (possible
+    only for alignments far below the standard 0.3*L cutoff) — callers
+    must treat those as failed and log them.
+    """
+    import os
+
+    P, Lr = reads.shape
+    Lw = wins.shape[1]
+    ND = Lr + Lw
+    pt = _fused_tile(ND)
+    mr = max(MAX_RUNS, _max_runs_bound(Lr))
+    n_sh = mesh.devices.size if mesh is not None else 1
+    if (Lr + 1 <= 128 and pt is not None and P % (pt * n_sh) == 0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("SOAP3DP_NO_PALLAS")):
+        call = partial(_dp_align_pallas_call, sc=sc, pt=pt, mr=mr)
+        if mesh is not None:
+            # every DP problem is independent: shard_map over the problem
+            # axis runs the identical kernel on each chip's slice (XLA
+            # cannot partition a custom call by itself)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as Ps
+            spec = Ps(mesh.axis_names[0])
+            call = shard_map(call, mesh=mesh, in_specs=(spec,) * 9,
+                             out_specs=(spec, spec))
+        stats, runs = call(
+            reads, jnp.asarray(rlens), wins, jnp.asarray(wlens),
+            jnp.asarray(clip_l), jnp.asarray(clip_r), jnp.asarray(anchor_l),
+            jnp.asarray(anchor_r), jnp.asarray(cutoff, jnp.int32))
+        # one packed D2H event
+        host = np.asarray(jnp.concatenate([stats, runs], axis=1))
+        st = host[:, :8]
+        return (st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+                host[:, 8:8 + mr], host[:, 8 + mr:8 + 2 * mr],
+                st[:, 5], st[:, 4], st[:, 6].astype(bool))
+    # fallback: scan forward + scan traceback + host RLE (with a mesh,
+    # the scan is used directly — XLA partitions it over the sharded
+    # problem axis; the unwrapped Pallas forward kernel cannot shard)
+    fwd = _dp_forward_scan if mesh is not None else dp_forward
+    bS, bI, bJ, bC, dirs = fwd(
+        reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r, sc=sc)
+    stats = np.asarray(jnp.stack([bS, bI, bJ, bC]))
+    score, hI, hJ, nbc = stats
+    active = score >= np.asarray(cutoff)
+    ops, cnts, nrun, startj = dp_traceback(
+        dirs, reads, rlens, wins, hI, hJ, jnp.asarray(clip_l),
+        jnp.asarray(active))
+    return (score, hI, hJ, nbc, ops, cnts, nrun, startj,
+            np.zeros(P, bool))

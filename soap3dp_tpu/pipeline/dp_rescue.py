@@ -38,7 +38,7 @@ import numpy as np
 from soap3dp_tpu.fm import fmindex
 from soap3dp_tpu.fm.fmindex import DeviceIndex
 from soap3dp_tpu.index.builder import Index
-from soap3dp_tpu.kernels.banded_dp import DPScores, dp_forward, dp_traceback
+from soap3dp_tpu.kernels.banded_dp import DPScores, dp_align
 from soap3dp_tpu.utils import timers
 
 MERGE_GAP = 50  # candidates within 50bp collapse (DP2_DIVIDE_GAP)
@@ -189,12 +189,22 @@ def seed_candidates(
     # the compiled search (see utils/shapes.py)
     from soap3dp_tpu.utils import shapes
 
+    from soap3dp_tpu.distributed import mesh as dmesh
+
+    mesh = dmesh.mesh_of(idx)
     B_real = B
     B = shapes.bucket(B, min_size=64)
+    if mesh is not None:
+        B = dmesh.pad_to_mesh(mesh, B)
     reads = shapes.pad_rows(np.asarray(reads), B)
     lens = shapes.pad_rows(np.asarray(lens), B)
     seed_pos = shapes.pad_rows(np.asarray(seed_pos, np.int32), B)
     seed_len = shapes.pad_rows(np.asarray(seed_len, np.int32), B)
+    if mesh is not None:
+        # shard the seeding batch over the mesh (padding rows repeat
+        # read 0; their candidates are dropped by the B_real filter)
+        reads, lens, seed_pos, seed_len = dmesh.shard_rows(
+            mesh, reads, lens, seed_pos, seed_len)
     S = seed_pos.shape[1]
     R = 2 * B
     # the seed-length table has a handful of staged values, so this
@@ -275,8 +285,10 @@ def run_banded_dp(
 
     Problem count and window width are bucketed to static shapes (pad
     lanes get an unreachable cutoff, so they never survive)."""
+    from soap3dp_tpu.distributed import mesh as dmesh
     from soap3dp_tpu.utils import shapes
 
+    mesh = dmesh.mesh_of(idx)
     M_real = cand.read.shape[0]
     if M_real:
         # subset reads too: every jnp op shape must come from the bucket set
@@ -284,6 +296,11 @@ def run_banded_dp(
         reads = shapes.pad_rows(np.asarray(reads), Bp)
         lens = shapes.pad_rows(np.asarray(lens), Bp)
         M_pad = shapes.bucket(M_real, min_size=128)
+        if mesh is not None:
+            # the fused Pallas DP runs under shard_map: every shard needs
+            # an equal, tile-aligned slice of the problem axis
+            from soap3dp_tpu.kernels.banded_dp import PALLAS_P_TILE
+            M_pad = dmesh.pad_to_mesh(mesh, M_pad, PALLAS_P_TILE)
         max_win = shapes.bucket_multiple(max_win, 128)
         cand = Candidates(
             read=shapes.pad_rows(cand.read, M_pad, fill_from_first=False),
@@ -310,32 +327,40 @@ def run_banded_dp(
                         win_start=z, n_best_cells=z.astype(np.int32),
                         problem=z.astype(np.int64))
     L = reads.shape[1]
+
+    def dev(a, dtype=None):
+        """Per-problem array -> device, row-sharded when on a mesh."""
+        a = np.asarray(a, dtype) if dtype is not None else np.asarray(a)
+        return dmesh.shard_rows(mesh, a) if mesh is not None else jnp.asarray(a)
+
     with timers.stage("dp.pack"):
         # stays on device end to end: orientation, window extraction and
         # the DP all consume HBM-resident arrays (no host round trip)
+        cread = dev(cand.read)
         oriented = jnp.where(
-            jnp.asarray(cand.strand[:, None] == 1),
-            fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cand.read],
-            jnp.asarray(reads)[cand.read])
+            dev(cand.strand[:, None] == 1),
+            fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cread],
+            jnp.asarray(reads)[cread])
         rlen = lens[cand.read].astype(np.int32)
         wins = fmindex.extract_genome(
-            idx, jnp.asarray(win_start.astype(np.uint32)), max_win).astype(jnp.uint8)
+            idx, dev(win_start, np.uint32), max_win).astype(jnp.uint8)
 
-    with timers.stage("dp.forward"):
-        bS, bI, bJ, bC, dirs = dp_forward(
-            oriented, jnp.asarray(rlen), wins,
-            jnp.asarray(win_len.astype(np.int32)),
-            jnp.asarray(clip_l.astype(np.int32)), jnp.asarray(clip_r.astype(np.int32)),
-            jnp.asarray(anchor_l.astype(np.int32)), jnp.asarray(anchor_r.astype(np.int32)),
-            sc=sc)
-        stats = np.asarray(jnp.stack([bS, bI, bJ, bC]))  # one D2H event
-        score, hI, hJ, nbc = stats
+    with timers.stage("dp.align"):
+        # fused forward + traceback: direction bytes stay in VMEM and the
+        # kernel returns finished CIGAR runs (no dirs HBM round trip)
+        cutoff32 = np.minimum(np.asarray(cutoff), 1 << 20).astype(np.int32)
+        score, hI, hJ, nbc, ops, cnts, nrun, startj, overflow = dp_align(
+            oriented, dev(rlen), wins,
+            dev(win_len, np.int32),
+            dev(clip_l, np.int32), dev(clip_r, np.int32),
+            dev(anchor_l, np.int32), dev(anchor_r, np.int32),
+            dev(cutoff32), sc=sc, mesh=mesh)
     passed = score >= cutoff
-    with timers.stage("dp.traceback"):
-        # returns host arrays already RLE'd to the tight run width
-        ops, cnts, nrun, startj = dp_traceback(
-            dirs, oriented, rlen, wins,
-            hI, hJ, clip_l.astype(np.int32), passed)
+    if overflow.any():
+        import sys
+        print(f"[soap3dp] warning: {int(overflow.sum())} DP traceback(s) "
+              "exceeded the run budget and were dropped", file=sys.stderr)
+        passed &= ~overflow
     if index_host is not None:
         # drop alignments whose reference span [pos, pos+span) crosses a
         # chromosome boundary or an excluded ambiguity region (the

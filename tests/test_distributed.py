@@ -54,6 +54,37 @@ def test_graft_entry_hooks():
     g.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def _record_tuples(writer):
+    return [(r.qname, r.flag, r.chrom, r.pos, r.mapq, r.cigar, r.mate_chrom,
+             r.mate_pos, r.tlen, tuple(r.tags)) for r in writer.records]
+
+
+def test_pair_pipeline_mesh_matches_single_device(mesh8):
+    """The REAL pair pipeline (align_pair_batch phases A-E) on the
+    8-device mesh must emit exactly the records of a single-device run
+    (VERDICT round-1 item 1: multi-chip wired into the actual pipeline)."""
+    import __graft_entry__ as g
+    from soap3dp_tpu.distributed import mesh as dmesh
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.pipeline.pair import align_pair_batch
+
+    index, b1, b2, opts = g.make_tiny_pair_workload(n_pairs=36, seed=5)
+
+    w1 = g._CollectWriter()
+    s1 = align_pair_batch(index, device_index(index), b1, b2, opts, w1)
+
+    didx = dmesh.replicate_index(index, mesh8, shard_sa=True)
+    w8 = g._CollectWriter()
+    s8 = align_pair_batch(index, didx, b1, b2, opts, w8)
+
+    assert (s1.paired_bwt, s1.paired_dp, s1.single_rescued, s1.unaligned,
+            s1.num_records) == \
+           (s8.paired_bwt, s8.paired_dp, s8.single_rescued, s8.unaligned,
+            s8.num_records)
+    assert _record_tuples(w1) == _record_tuples(w8)
+    assert s1.paired_bwt > 0 and s1.paired_dp > 0
+
+
 def test_sharded_sa_matches_replicated(mesh8, small_index, small_genome, rng):
     """SA table sharded across the mesh: same results, 1/n the SA
     memory per device (the 'index sharding' axis, SURVEY 2.3)."""

@@ -134,6 +134,55 @@ def test_exact_read_aligns_perfectly(rng):
                                 np.asarray(nrun), p) == [("M", Lr)]
 
 
+@pytest.mark.parametrize("with_anchor", [False, True])
+def test_fused_align_matches_scan_path(with_anchor):
+    """The fused forward+traceback kernel (interpret mode) must produce
+    byte-identical runs/stats to the scan + host-RLE reference path."""
+    from soap3dp_tpu.kernels import banded_dp as bd
+
+    rng = np.random.default_rng(9)
+    P, Lr, Lw = 64, 40, 70
+    prob = make_problems(rng, P, Lr, Lw, with_anchor)
+    reads, rlens, wins, wlens, cl, cr, al, ar = prob
+    jprob = [jnp.asarray(x) for x in prob]
+    cutoff = np.full(P, 10, np.int32)
+
+    # reference: scan forward + scan traceback + host RLE
+    bS, bI, bJ, bC, dirs = bd._dp_forward_scan(*jprob, sc=SC)
+    sS, sI, sJ, sC = map(np.asarray, (bS, bI, bJ, bC))
+    active = sS >= cutoff
+    r_ops, r_cnts, r_nrun, r_startj = bd.dp_traceback(
+        dirs, jprob[0], jprob[1], jprob[2], bI, bJ, jprob[4],
+        jnp.asarray(active))
+
+    # fused kernel in interpret mode
+    mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
+    stats, runs = bd._dp_align_pallas_call(
+        *jprob, jnp.asarray(cutoff), SC, pt=bd.PALLAS_P_TILE, mr=mr,
+        interpret=True)
+    stats, runs = np.asarray(stats), np.asarray(runs)
+    f_ops, f_cnts = runs[:, :mr], runs[:, mr:]
+
+    assert np.array_equal(stats[:, 0], sS)
+    assert np.array_equal(stats[:, 1], sI)
+    assert np.array_equal(stats[:, 2], sJ)
+    assert np.array_equal(stats[:, 3], sC)
+    assert not stats[:, 6].any(), "run budget overflow"
+    checked = 0
+    for p in range(P):
+        if not active[p]:
+            assert stats[p, 5] == 0
+            continue
+        assert stats[p, 4] == r_startj[p], p
+        want = [(int(r_ops[p, r]), int(r_cnts[p, r]))
+                for r in range(int(r_nrun[p])) if r_cnts[p, r] > 0]
+        got = [(int(f_ops[p, r]), int(f_cnts[p, r]))
+               for r in range(int(stats[p, 5])) if f_cnts[p, r] > 0]
+        assert got == want, p
+        checked += 1
+    assert checked > P // 2
+
+
 def test_pallas_forward_matches_scan():
     """The Pallas VMEM kernel must agree exactly with the scan spec
     (run in interpreter mode so the test works on CPU)."""
