@@ -56,6 +56,10 @@ class SearchConfig:
     k: int = 2                # max mismatches (reference -s: 0..4)
     occ_cap: int = 16         # round-1 SA-interval budget per seed
     occ_cap_round2: int = 256  # round-2 budget (reference sa_range round2)
+    occ_cap_round3: int = 4096  # super-repetitive budget: the analog of the
+    # reference's host full re-alignment of over-budget reads
+    # (ProcessReadDoubleStrand2, CPUfunctions.cpp:555) — a bounded third
+    # pass that decodes the full SA interval instead of dropping the read
     seed_slack: int = 2       # extra bases past log4(n) in the seed prefix
 
     @property
@@ -394,32 +398,37 @@ class PendingSearch:
             hits = HitArrays(row=hits.row[:tb], tp=hits.tp[:tb],
                              nmis=hits.nmis[:tb], valid=hits.valid[:tb],
                              flagged=hits.flagged)
-        flagged = np.asarray(hits.flagged)
-        if not flagged.any():
-            return self._strip_pad(hits)
-
-        # round 2: full segments + bigger budget for the flagged reads
-        # only, padded to a power-of-two bucket for executable reuse.
+        # escalating re-runs of still-flagged reads with full pigeonhole
+        # segments: round 2 (the reference's bigger sa_range round) and a
+        # bounded round 3 for super-repetitive reads — the analog of the
+        # reference's host full re-alignment (ProcessReadDoubleStrand2,
+        # CPUfunctions.cpp:555), which reports the full placement set
+        # instead of dropping the read.
         from soap3dp_tpu.distributed import mesh as dmesh
 
-        sel = np.flatnonzero(flagged)
-        nb = min(shapes.bucket(len(sel), min_size=64), B)
-        if self.mesh is not None:
-            nb = min(dmesh.pad_to_mesh(self.mesh, nb), B)
-        reads_h = self.reads_h
-        sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
-            if len(sel) < nb else sel[:nb]
         steps2 = _steps_for(self.idx, self.longest_seg,
                             min(self.min_seg, self.longest_seg))
-        if self.mesh is not None:
-            r2, l2 = dmesh.shard_rows(self.mesh, reads_h[sel_pad],
-                                      self.lens_h[sel_pad])
-        else:
-            r2 = jnp.asarray(reads_h[sel_pad])
-            l2 = jnp.asarray(self.lens_h[sel_pad])
-        hits2 = _run_compacted(self.idx, r2, l2, cfg,
-                               cfg.occ_cap_round2, steps2, 0, nb, S)
-        return self._strip_pad(_merge_round2(hits, hits2, sel, B, nb))
+        for cap in (cfg.occ_cap_round2, cfg.occ_cap_round3):
+            flagged = np.asarray(hits.flagged)
+            if not flagged.any():
+                break
+            sel = np.flatnonzero(flagged)
+            nb = min(shapes.bucket(len(sel), min_size=64), B)
+            if self.mesh is not None:
+                nb = min(dmesh.pad_to_mesh(self.mesh, nb), B)
+            reads_h = self.reads_h
+            sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
+                if len(sel) < nb else sel[:nb]
+            if self.mesh is not None:
+                r2, l2 = dmesh.shard_rows(self.mesh, reads_h[sel_pad],
+                                          self.lens_h[sel_pad])
+            else:
+                r2 = jnp.asarray(reads_h[sel_pad])
+                l2 = jnp.asarray(self.lens_h[sel_pad])
+            hits2 = _run_compacted(self.idx, r2, l2, cfg, cap, steps2, 0,
+                                   nb, S)
+            hits = _merge_round2(hits, hits2, sel, B, nb)
+        return self._strip_pad(hits)
 
 
 def search_reads(

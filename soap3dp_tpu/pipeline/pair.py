@@ -37,7 +37,9 @@ from soap3dp_tpu.pipeline.options import AlignOptions
 from soap3dp_tpu.utils import timers
 from soap3dp_tpu.pipeline.single import _genome_codes, _qual_bytes, _seq_bytes
 
-PAIRING_CAP = 64  # per-end hits considered for pairing (per pair)
+# bound on candidate mates enumerated per anchor hit inside the insert
+# window — only reachable in pathological repeats; truncation is logged
+PAIRING_FANOUT_CAP = 2048
 
 
 @dataclasses.dataclass
@@ -69,29 +71,62 @@ class PairCombos:
 def pair_hits(t1: hits.HitTable, t2: hits.HitTable, B: int,
               lens1: np.ndarray, lens2: np.ndarray,
               opts: AlignOptions) -> PairCombos:
-    """Cross-product pairing within each read pair (vectorized).
+    """Insert-window pairing within each read pair (vectorized).
 
-    Per-end hits are capped at PAIRING_CAP (the hit tables are sorted
-    best-first, so the cap keeps the lowest-mismatch hits — the
-    reference's MaxHitsEachEndForPairing plays the same role).
+    The reference radix-sorts both ends' occurrence lists and
+    merge-scans them for proper pairs (PEMappingOccurrences,
+    PEAlgnmt.cpp:480); the equivalent here is a sorted window join:
+    end-2 hits are sorted by (read, pos) and each end-1 hit looks up
+    its [pos-u, pos+u] mate window with two searchsorted calls, so the
+    work is proportional to the true near-pair count, never the
+    n1*n2 cross product. Per-end hits honor MaxHitsEachEndForPairing
+    (soap3-dp.ini, default 8000) like the reference.
     """
-    n1 = np.minimum(t1.counts(), PAIRING_CAP)
-    n2 = np.minimum(t2.counts(), PAIRING_CAP)
-    combos = n1.astype(np.int64) * n2
-    total = int(combos.sum())
+    cap = opts.max_hits_each_end_for_pairing
+    n1 = np.minimum(t1.counts(), cap)
+    n2 = np.minimum(t2.counts(), cap)
     empty = PairCombos(*(np.zeros(0, t) for t in
                          (np.int32, np.int64, np.int64, np.int64, np.int32)),
                        start=np.zeros(B + 1, np.int64))
+    both = (n1 > 0) & (n2 > 0)
+    if not both.any():
+        return empty
+
+    def expand(tab, n):
+        rep = np.repeat(np.arange(B, dtype=np.int64), n)
+        rk = np.arange(len(rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n)
+        return rep, tab.start[rep] + rk
+
+    # end-2 hits keyed by (read, pos) for the window join (the table is
+    # (read, nmis, pos)-sorted, so a re-sort by position is needed)
+    rep2, rows2 = expand(t2, np.where(both, n2, 0))
+    key2 = (rep2 << 33) | t2.pos[rows2].astype(np.int64)
+    o2 = np.argsort(key2, kind="stable")
+    key2, rows2 = key2[o2], rows2[o2]
+
+    rep1, row1e = expand(t1, np.where(both, n1, 0))
+    p1e = t1.pos[row1e].astype(np.int64)
+    u = int(opts.max_insert)
+    lo = np.searchsorted(key2, (rep1 << 33) | np.maximum(p1e - u, 0))
+    hi = np.searchsorted(key2, (rep1 << 33) | (p1e + u + 1))
+    cnt = hi - lo
+    over = cnt > PAIRING_FANOUT_CAP
+    if over.any():
+        import sys
+        print(f"[soap3dp] warning: pairing fan-out capped at "
+              f"{PAIRING_FANOUT_CAP} mates for {int(over.sum())} anchor "
+              "hit(s) in repetitive regions", file=sys.stderr)
+        cnt = np.minimum(cnt, PAIRING_FANOUT_CAP)
+    total = int(cnt.sum())
     if total == 0:
         return empty
-    off = np.zeros(B + 1, np.int64)
-    np.cumsum(combos, out=off[1:])
-    pid = np.repeat(np.arange(B, dtype=np.int32), combos)
-    c = np.arange(total, dtype=np.int64) - off[pid]
-    i1 = c // n2[pid]
-    i2 = c % n2[pid]
-    row1 = t1.start[pid] + i1
-    row2 = t2.start[pid] + i2
+    srcs = np.repeat(np.arange(len(rep1)), cnt)
+    k = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+    row1 = row1e[srcs]
+    row2 = rows2[lo[srcs] + k]
+    pid = rep1[srcs].astype(np.int32)
 
     p1 = t1.pos[row1].astype(np.int64)
     p2 = t2.pos[row2].astype(np.int64)
