@@ -109,6 +109,122 @@ class SamWriter:
         fields.extend(t.encode() for t in rec.tags)
         self._fh.write(b"\t".join(fields) + b"\n")
 
+    def write_block(self, names, flags, chroms, poss, mapqs, cigars, nms, *,
+                    mate_chroms=None, mate_poss=None, tlens=None,
+                    seq_codes=None, seq_lens=None, quals=None,
+                    tags=None) -> None:
+        """Columnar bulk write of N gapless records (the SAM-text analog
+        of the succinct block writer; the reference buffers via its OCC
+        cache, OCCFlushCacheSAMAPI): every field is assembled with
+        vectorized numpy scatters, no per-record Python.
+
+        seq_codes is a (N, L) FORWARD 2-bit code matrix; reverse-flagged
+        records are reverse-complemented in bulk. tags = (x0, x1, xm)
+        arrays for the standard X0/X1/XM/XO/XG block. nms is accepted
+        for writer-protocol compatibility (NM is only emitted by the
+        -p slow path).
+        """
+        N = len(names)
+        if N == 0:
+            return
+        del nms
+        flags = np.asarray(flags, np.int64)
+        chroms = np.asarray(chroms, np.int64)
+        poss = np.asarray(poss, np.int64)
+
+        def dec(a):
+            return np.char.mod(b"%d", np.asarray(a))
+
+        cols: list[tuple[np.ndarray, np.ndarray]] = []
+
+        def add_bytes_list(lst):
+            ln = np.fromiter((len(x) for x in lst), np.int64, len(lst))
+            cols.append((ln, np.frombuffer(b"".join(lst), np.uint8)))
+
+        def add_S(arr):
+            """Compact an 'S'-dtype column into (lens, concat bytes)."""
+            arr = np.ascontiguousarray(arr)
+            W = arr.dtype.itemsize
+            ln = np.char.str_len(arr).astype(np.int64)
+            flat = arr.view(np.uint8).reshape(N, W)
+            idx = _ragged_indices(np.arange(N, dtype=np.int64) * W, ln)
+            cols.append((ln, flat.reshape(-1)[idx]))
+
+        def add_const(ch: bytes):
+            cols.append((np.full(N, len(ch), np.int64),
+                         np.frombuffer(ch * N, np.uint8)))
+
+        name_tab = np.array(self.names)
+        tab = b"\t"
+        add_bytes_list(list(names))
+        add_const(tab)
+        add_S(dec(flags))
+        add_const(tab)
+        add_S(name_tab[np.maximum(chroms, 0)])
+        add_const(tab)
+        add_S(dec(poss + 1))
+        add_const(tab)
+        add_S(dec(np.asarray(mapqs)))
+        add_const(tab)
+        add_bytes_list(list(cigars))
+        # mate fields
+        if mate_chroms is None:
+            add_const(b"\t*\t0\t0\t")
+        else:
+            mate_chroms = np.asarray(mate_chroms, np.int64)
+            rnext = np.where(mate_chroms < 0, b"*",
+                             np.where(mate_chroms == chroms, b"=",
+                                      name_tab[np.maximum(mate_chroms, 0)]))
+            add_const(tab)
+            add_S(rnext.astype("S"))
+            add_const(tab)
+            add_S(dec(np.where(mate_chroms < 0, 0,
+                               np.asarray(mate_poss, np.int64) + 1)))
+            add_const(tab)
+            add_S(dec(np.asarray(tlens, np.int64)))
+            add_const(tab)
+        # SEQ/QUAL, bulk reverse-complemented where FLAG_REVERSE
+        if seq_codes is None:
+            add_const(b"*\t*")
+        else:
+            seq_codes = np.asarray(seq_codes)
+            L = seq_codes.shape[1]
+            lens_a = np.asarray(seq_lens, np.int64)
+            rev = (flags & FLAG_REVERSE) != 0
+            i = np.arange(L, dtype=np.int64)[None, :]
+            src = np.where(rev[:, None],
+                           np.clip(lens_a[:, None] - 1 - i, 0, L - 1), i)
+            oc = np.take_along_axis(seq_codes, src, axis=1)
+            oc = np.where(rev[:, None], 3 - oc, oc)
+            ascii_m = dna.CODE_TO_CHAR[oc]
+            idx = _ragged_indices(np.arange(N, dtype=np.int64) * L, lens_a)
+            cols.append((lens_a, ascii_m.reshape(-1)[idx]))
+            add_const(tab)
+            if quals is None:
+                add_const(b"*")
+            else:
+                qm = np.take_along_axis(np.asarray(quals), src, axis=1)
+                cols.append((lens_a, qm.reshape(-1)[idx]))
+        if tags is not None:
+            x0, x1, xm = (np.asarray(t) for t in tags)
+            tag_s = np.char.add(np.char.add(np.char.add(np.char.add(
+                b"\tX0:i:", dec(x0)), b"\tX1:i:"), dec(x1)),
+                np.char.add(b"\tXM:i:", dec(xm)))
+            tag_s = np.char.add(tag_s, b"\tXO:i:0\tXG:i:0")
+            add_S(tag_s)
+        add_const(b"\n")
+
+        rec_len = sum(ln for ln, _ in cols)
+        off = np.zeros(N + 1, np.int64)
+        np.cumsum(rec_len, out=off[1:])
+        buf = np.zeros(off[-1], np.uint8)
+        at = off[:-1].copy()
+        for ln, src in cols:
+            dst = _ragged_indices(at, ln)
+            buf[dst] = src
+            at = at + ln
+        self._fh.write(buf.tobytes())
+
     def close(self) -> None:
         if self._own:
             self._fh.close()
@@ -118,6 +234,14 @@ class SamWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _ragged_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat destination indices for ragged rows [starts[i], +lens[i])."""
+    total = int(lens.sum())
+    return np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens))
 
 
 def translate_pos(index: Index, tp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -69,7 +69,7 @@ class SuccinctWriter:
         self.close()
 
     def write_block(self, names: list[bytes], flags, chroms, poss, mapqs,
-                    cigars: list[bytes], nms) -> None:
+                    cigars: list[bytes], nms, **_kw) -> None:
         """Columnar bulk write: serialize N records with vectorized
         numpy byte assembly (one Python pass only for the ragged
         name/cigar copies' source concat). The analog of the
@@ -165,6 +165,23 @@ _CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
              "=": 7, "X": 8}
 
 
+def reg2bin(beg: int, end: int) -> int:
+    """BAM bin number of [beg, end) — the standard UCSC binning function
+    (SAM spec section 5.3; samtools bam.h bam_reg2bin)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
 def _bgzf_block(payload: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()
@@ -210,16 +227,19 @@ class BamWriter:
             del self._buf[:60000]
 
     @staticmethod
-    def _cigar_bin(cigar: str) -> list[int]:
+    def _cigar_bin(cigar: str) -> tuple[list[int], int]:
+        """Binary cigar ops + reference span (for reg2bin)."""
         out = []
-        n = 0
+        n = span = 0
         for ch in cigar:
             if ch.isdigit():
                 n = n * 10 + ord(ch) - 48
             else:
                 out.append((n << 4) | _CIGAR_OP[ch])
+                if ch in "MDN=X":
+                    span += n
                 n = 0
-        return out
+        return out, span
 
     def write(self, rec: SamRecord) -> None:
         if rec.flag & FLAG_REVERSE and not rec.flag & FLAG_UNMAPPED:
@@ -227,7 +247,11 @@ class BamWriter:
             qual = rec.qual[::-1] if rec.qual else None
         else:
             seq, qual = rec.seq, rec.qual
-        cig = self._cigar_bin(rec.cigar) if rec.cigar else []
+        cig, span = self._cigar_bin(rec.cigar) if rec.cigar else ([], 0)
+        if rec.chrom >= 0 and rec.pos >= 0:
+            bam_bin = reg2bin(rec.pos, rec.pos + max(span, 1))
+        else:
+            bam_bin = 4680  # reg2bin(-1, 0): the spec's unmapped value
         l_seq = len(seq)
         packed = bytearray((l_seq + 1) // 2)
         for i, b in enumerate(seq):
@@ -245,7 +269,7 @@ class BamWriter:
         body = struct.pack(
             "<iiBBHHHiiii",
             rec.chrom, rec.pos if rec.chrom >= 0 else -1,
-            len(name), rec.mapq & 0xFF, 4680,  # reg2bin stub bin
+            len(name), rec.mapq & 0xFF, bam_bin,
             len(cig), rec.flag, l_seq,
             rec.mate_chrom, rec.mate_pos if rec.mate_chrom >= 0 else -1,
             rec.tlen)

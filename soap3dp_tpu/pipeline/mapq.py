@@ -46,6 +46,82 @@ PENALTY_RATIO_X1 = np.array(
 assert PENALTY_RATIO_X1.shape[0] == 101
 
 
+def genome_codes_batch(index, tp: np.ndarray, L: int) -> np.ndarray:
+    """(M, L) genome codes at each text position (host-side numpy
+    mirror of fm.fmindex.extract_genome, word gather + funnel shift)."""
+    pac = np.asarray(index.pac)
+    tp = np.asarray(tp, np.int64)
+    W = (L + 15) // 16 + 1
+    w0 = tp >> 4
+    j = np.arange(W, dtype=np.int64)
+    words = pac[np.clip(w0[:, None] + j, 0, len(pac) - 1)]
+    sh = (2 * (tp & 15)).astype(np.uint32)[:, None]
+    lo = words[:, :-1] >> sh
+    hi = np.where(sh == 0, 0,
+                  words[:, 1:] << ((32 - sh) & 31)).astype(np.uint32)
+    aligned = lo | hi
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    codes = (aligned[:, :, None] >> shifts) & 3
+    return codes.reshape(len(tp), -1)[:, :L].astype(np.uint8)
+
+
+def avg_mismatch_qual(index, pos, strand, codes, lens, quals,
+                      default: int = 20) -> np.ndarray:
+    """Average base quality (phred) at the mismatch positions of each
+    gapless primary alignment — the real input of the reference's
+    table-mode MAPQ (getMapQualScoreSingle, BGS-IO.cpp:2331-2367),
+    which averages the qualities of the mismatched bases.
+
+    codes/quals are the FORWARD read matrices; pos/strand describe the
+    placements. Without qualities (FASTA input) every read gets
+    ``default``."""
+    pos = np.asarray(pos, np.int64)
+    M = len(pos)
+    if quals is None or M == 0:
+        return np.full(M, default, np.int32)
+    L = codes.shape[1]
+    lens = np.asarray(lens)
+    strand = np.asarray(strand).astype(bool)
+    i = np.arange(L, dtype=np.int64)[None, :]
+    in_read = i < lens[:, None]
+    # orient reads to the genome strand; track the original read
+    # coordinate of each oriented position for the quality lookup
+    src = np.where(strand[:, None],
+                   np.clip(lens[:, None] - 1 - i, 0, L - 1), i)
+    oriented = np.take_along_axis(codes, src, axis=1)
+    oriented = np.where(strand[:, None], 3 - oriented, oriented)
+    g = genome_codes_batch(index, pos, L)
+    mism = (g != oriented) & in_read
+    q = np.take_along_axis(quals.astype(np.int32), src, axis=1) - 33
+    s = (np.maximum(q, 0) * mism).sum(axis=1)
+    c = mism.sum(axis=1)
+    return np.where(c > 0, s // np.maximum(c, 1), default).astype(np.int32)
+
+
+def avg_mis_qual_from_runs(ops, cnts, nrun: int, rlen: int, strand: int,
+                           quals_row, default: int = 20) -> int:
+    """Average mismatch base quality of one DP alignment, replayed from
+    its right-to-left CIGAR runs (the DP analog of avg_mismatch_qual;
+    reference getMapQualScoreForSingleDP, BGS-IO.cpp:2370-2412)."""
+    from soap3dp_tpu.kernels.banded_dp import (
+        OP_CLIP, OP_INS, OP_MATCH, OP_MISMATCH)
+
+    if quals_row is None:
+        return default
+    p = rlen
+    s = c = 0
+    for r in range(nrun):
+        op, n = int(ops[r]), int(cnts[r])
+        if op in (OP_MATCH, OP_MISMATCH, OP_INS, OP_CLIP):
+            if op == OP_MISMATCH:
+                for i in range(p - n, p):
+                    oi = rlen - 1 - i if strand else i
+                    s += max(int(quals_row[oi]) - 33, 0)
+                    c += 1
+            p -= n
+    return (s // c) if c else default
+
+
 def bwa_like_single(x0: np.ndarray, x1: np.ndarray) -> np.ndarray:
     """BWA-like single-end MAPQ in [0, 37]."""
     x0 = np.asarray(x0)

@@ -356,10 +356,20 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
             st1.x0[paired], st1.x1[paired], st2.x0[paired], st2.x1[paired],
             opsc, n_best, subsc, np.maximum(n_total - n_best, 0), l1, l2)
     else:
+        r1p = combos.row1[prim]
+        r2p = combos.row2[prim]
+        amq1 = mapq.avg_mismatch_qual(
+            index, t1.pos[r1p], t1.strand[r1p], b1.codes[paired],
+            lens1[paired], None if b1.quals is None else b1.quals[paired])
+        amq2 = mapq.avg_mismatch_qual(
+            index, t2.pos[r2p], t2.strand[r2p], b2.codes[paired],
+            lens2[paired], None if b2.quals is None else b2.quals[paired])
         mq1 = mapq.table_single(
-            np.maximum(t1.nmis[combos.row1[prim]], 0), 20,
+            np.maximum(t1.nmis[r1p], 0), amq1,
             st1.x0[paired], st1.x1[paired], opts.max_mapq, opts.min_mapq)
-        mq2 = mq1
+        mq2 = mapq.table_single(
+            np.maximum(t2.nmis[r2p], 0), amq2,
+            st2.x0[paired], st2.x1[paired], opts.max_mapq, opts.min_mapq)
 
     r1 = combos.row1[prim]
     r2 = combos.row2[prim]
@@ -414,9 +424,28 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
             return np.stack([np.asarray(a)[fi], np.asarray(b_)[fi]],
                             axis=1).reshape(-1)
 
+        kw = {}
+        if getattr(writer, "needs_seq", True):
+            Lm = max(b1.codes.shape[1], b2.codes.shape[1])
+            sc_ = np.zeros((2 * len(fi), Lm), np.uint8)
+            sc_[0::2, :b1.codes.shape[1]] = b1.codes[bsel]
+            sc_[1::2, :b2.codes.shape[1]] = b2.codes[bsel]
+            kw["seq_codes"] = sc_
+            kw["seq_lens"] = inter(lens1, lens2)
+            if b1.quals is not None and b2.quals is not None:
+                qm = np.zeros((2 * len(fi), Lm), np.uint8)
+                qm[0::2, :b1.quals.shape[1]] = b1.quals[bsel]
+                qm[1::2, :b2.quals.shape[1]] = b2.quals[bsel]
+                kw["quals"] = qm
+        if needs_tags:
+            kw["tags"] = (inter(st1.x0[paired], st2.x0[paired]),
+                          inter(st1.x1[paired], st2.x1[paired]),
+                          inter(t1.nmis[r1], t2.nmis[r2]))
         writer.write_block(
             names, inter(f1, f2), inter(c1, c2), inter(o1, o2),
-            inter(mq1, mq2), cigars, np.zeros(2 * len(fi), np.int32))
+            inter(mq1, mq2), cigars, np.zeros(2 * len(fi), np.int32),
+            mate_chroms=inter(c2, c1), mate_poss=inter(o2, o1),
+            tlens=inter(tlen1, -tlen1), **kw)
         keep = ~fast
     else:
         keep = np.ones(len(paired), bool)

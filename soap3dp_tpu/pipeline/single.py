@@ -83,7 +83,16 @@ def align_single_batch(
     if opts.bwa_like_score:
         mq = mapq.bwa_like_single(stats.x0, stats.x1)
     else:
-        mq = mapq.table_single(np.maximum(stats.best_nmis, 0), 20,
+        # table mode scores with the REAL average mismatch base quality
+        # of each primary placement (BGS-IO.cpp:2331-2367)
+        amq = np.full(B, 20, np.int32)
+        wp = np.flatnonzero(primary >= 0)
+        if wp.size and batch.quals is not None:
+            pr = primary[wp]
+            amq[wp] = mapq.avg_mismatch_qual(
+                index, table.pos[pr], table.strand[pr], batch.codes[wp],
+                lens[wp], batch.quals[wp])
+        mq = mapq.table_single(np.maximum(stats.best_nmis, 0), amq,
                                stats.x0, stats.x1,
                                opts.max_mapq, opts.min_mapq)
 
@@ -143,12 +152,21 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
                 c = cig_cache[rl] = b"%dM" % rl
             return c
 
+        kw = {}
+        if getattr(writer, "needs_seq", True):
+            kw["seq_codes"] = batch.codes[bsel]
+            kw["seq_lens"] = batch.lens[bsel]
+            if batch.quals is not None:
+                kw["quals"] = batch.quals[bsel]
+        if getattr(writer, "needs_tags", True):
+            kw["tags"] = (stats.x0[bsel], stats.x1[bsel],
+                          table.nmis[prim_rows[fi]])
         writer.write_block(
             [batch.names[b] for b in bsel],
             np.where(strands[fi] == 1, sam.FLAG_REVERSE, 0),
             chrom[fi], off[fi], np.asarray(mq)[bsel],
             [cig(int(batch.lens[b])) for b in bsel],
-            np.zeros(len(fi), np.int32))
+            np.zeros(len(fi), np.int32), **kw)
         keep = ~fast
     else:
         keep = np.ones(len(reads_sel), bool)
@@ -240,8 +258,14 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
         x0 = sum(1 for i in rows if res.score[i] == best)
         x1 = len(rows) - x0
         rlen = int(batch.lens[b])
+        amq = 20
+        if not opts.bwa_like_score and batch.quals is not None:
+            i0 = rows[0]
+            amq = mapq.avg_mis_qual_from_runs(
+                res.ops[i0], res.cnts[i0], int(res.nrun[i0]), rlen,
+                int(res.strand[i0]), batch.quals[b])
         mq = int(mapq.dp_single(
-            rlen * opts.match_score, 20, x0, 0, x1, best,
+            rlen * opts.match_score, amq, x0, 0, x1, best,
             res.score[rows[1]] if len(rows) > 1 else 0,
             int(opts.dp_cutoff(rlen)), opts.max_mapq, opts.min_mapq,
             opts.bwa_like_score)[()])

@@ -309,3 +309,53 @@ def test_succinct_write_block_matches_write(tmp_path, small_index):
     assert [r[0] for r in recs] == names
     assert [r[3] for r in recs] == poss
     assert [r[6] for r in recs] == nms
+
+
+def test_sam_block_writer_matches_per_record(tmp_path, small_index,
+                                             small_device_index,
+                                             small_genome, rng):
+    """The columnar SAM write_block path must emit byte-identical text
+    to the per-record SamRecord path (VERDICT r1 item 6)."""
+    import numpy as np
+    from soap3dp_tpu.io.fastq import ReadBatch
+    from soap3dp_tpu.io.sam import SamWriter
+    from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.pair import align_pair_batch
+
+    codes = small_genome.codes
+    L, insert, n = 40, 120, 25
+    pos = rng.integers(0, len(codes) - insert - 1, n)
+    left = np.stack([codes[p:p + L] for p in pos])
+    right = np.stack([(3 - codes[p + insert - L:p + insert])[::-1]
+                      for p in pos])
+    left[0, 5] = (left[0, 5] + 1) % 4
+    quals = rng.integers(33, 73, (n, L)).astype(np.uint8)
+    names = [b"q%d" % i for i in range(n)]
+    lens = np.full(n, L, np.int32)
+    b1 = ReadBatch(names, np.ascontiguousarray(left), lens, quals.copy())
+    b2 = ReadBatch(names, np.ascontiguousarray(right), lens.copy(),
+                   quals.copy())
+    opts = AlignOptions(min_insert=60, max_insert=240)
+
+    class SlowSam(SamWriter):
+        write_block = property()  # hide: hasattr() -> AttributeError
+
+    out = {}
+    for cls, tag in ((SamWriter, "fast"), (SlowSam, "slow")):
+        p = tmp_path / f"{tag}.sam"
+        w = cls(str(p), small_index)
+        align_pair_batch(small_index, small_device_index, b1, b2, opts, w)
+        w.close()
+        out[tag] = p.read_text()
+    assert out["fast"] == out["slow"]
+    assert "X0:i:" in out["fast"]
+
+
+def test_reg2bin():
+    from soap3dp_tpu.io.succinct import reg2bin
+
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(1 << 14, (1 << 14) + 1) == 4682
+    assert reg2bin(0, (1 << 14) + 1) == 585
+    assert reg2bin(0, (1 << 26) + 1) == 0
+    assert reg2bin(9_000_000, 9_000_100) == 4681 + (9_000_000 >> 14)

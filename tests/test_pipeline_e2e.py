@@ -354,3 +354,31 @@ def test_repetitive_genome_full_hit_sets_and_pairing(rng):
     n_pairs = int(combos.start[1] - combos.start[0])
     assert n_pairs >= copies - 1, n_pairs
     assert (combos.insert == insert).all()
+
+
+def test_table_mapq_uses_real_mismatch_qualities(small_index,
+                                                 small_device_index,
+                                                 small_genome, rng):
+    """Table-mode MAPQ must feed the REAL average mismatch base quality
+    (BGS-IO.cpp:2331-2367), not a constant: the same 2-mismatch read
+    scores differently with low- vs high-quality mismatched bases."""
+    codes = small_genome.codes
+    L = 40
+    p = int(rng.integers(0, len(codes) - L))
+    read = codes[p:p + L].copy()
+    read[10] = (read[10] + 1) % 4
+    read[25] = (read[25] + 2) % 4
+
+    def run(mis_q):
+        quals = np.full((1, L), 33 + 38, np.uint8)   # high everywhere
+        quals[0, 10] = quals[0, 25] = 33 + mis_q
+        b = ReadBatch(names=[b"r0"], codes=read[None, :].copy(),
+                      lens=np.full(1, L, np.int32), quals=quals)
+        _, recs = run_single(small_index, small_device_index, b,
+                             bwa_like_score=False)
+        return recs[0]["mapq"]
+
+    lo, hi = run(2), run(38)
+    assert lo != hi, (lo, hi)
+    # low-quality mismatches are more forgivable -> higher MAPQ
+    assert lo > hi
