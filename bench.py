@@ -1,19 +1,29 @@
 """Benchmark: paired-end 100bp alignment throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": r}
+  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": r,
+   "elapsed_reads_per_s": ..., "profiles": {...}}
 
 Baseline: the reference aligns 1M x 100bp single-end reads against the
 human genome (<=3 mismatches) in 37.04s on its GPU (BGS-Experiment.log:
 8-11), i.e. ~27,000 reads/s/device. No human genome is available in
-this environment (zero egress), so the bench uses a cached synthetic
-40Mbp genome (chr21 scale) and measures the full paired-end pipeline
-(search both ends + pairing + DP rescue + output) end-to-end.
-vs_baseline = our reads/s / 27000.
+this environment (zero egress), so the bench uses cached synthetic
+genomes and measures the full paired-end pipeline (search both ends +
+pairing + DP rescue + output) end-to-end.
 
-First invocation builds and caches the index under .bench_cache/
-(one-time cost, excluded from timing). A jit warmup batch runs before
-the timed batches.
+Three profiles per run:
+  main        40Mbp index, full SA + LUT-only seeding, succinct output
+              (the headline metric; comparable with earlier rounds)
+  chr1_scale  250Mbp index, sa_rate=4, lut_k=13 — the configuration
+              class that transfers to a 3.1Gbp human index: real FM
+              extension steps past the LUT and sampled-SA LF walks on
+              the hot path (VERDICT r1 item 3)
+  sam_out     40Mbp index with SAM text output (the default -b 2 path)
+
+`value` is the steady-state median per-batch rate (the remote-TPU link
+adds sporadic multi-hundred-ms stalls); `elapsed_reads_per_s` is the
+total-elapsed rate including those stalls and the double-buffer warm
+start. Both are reported per ADVICE r1.
 """
 
 from __future__ import annotations
@@ -26,44 +36,47 @@ import time
 import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-GENOME_BP = int(os.environ.get("BENCH_GENOME_BP", 40_000_000))
 READ_LEN = 100
 INSERT = 400
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", 400_000))
-BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
 BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
 
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 400_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
+SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 200_000))
 
-def get_index():
+
+def get_index(genome_bp: int, sa_rate: int, lut_k: int):
     from soap3dp_tpu.index.builder import build_index, load_index, save_index
     from soap3dp_tpu.index.packing import PackedGenome
     from soap3dp_tpu.utils import dna
 
-    path = os.path.join(CACHE, f"synth{GENOME_BP}.sa1k14.t3i")
-    codes_path = os.path.join(CACHE, f"synth{GENOME_BP}.codes.npy")
+    tag = f"synth{genome_bp}.sa{sa_rate}k{lut_k}"
+    path = os.path.join(CACHE, tag + ".t3i")
+    codes_path = os.path.join(CACHE, f"synth{genome_bp}.codes.npy")
     if os.path.exists(os.path.join(path, "meta.json")):
         return load_index(path), np.load(codes_path, mmap_mode="r")
     os.makedirs(CACHE, exist_ok=True)
-    print(f"[bench] building {GENOME_BP / 1e6:.0f}Mbp index (one-time)...",
-          file=sys.stderr)
+    print(f"[bench] building {genome_bp / 1e6:.0f}Mbp index "
+          f"(sa_rate={sa_rate}, lut_k={lut_k}; one-time)...", file=sys.stderr)
     t0 = time.time()
     rng = np.random.default_rng(7)
-    codes = rng.integers(0, 4, GENOME_BP).astype(np.uint8)
+    if os.path.exists(codes_path):
+        codes = np.load(codes_path)
+    else:
+        codes = rng.integers(0, 4, genome_bp).astype(np.uint8)
+        np.save(codes_path, codes)
     genome = PackedGenome(
-        codes=codes, pac=dna.pack_codes(codes), length=GENOME_BP,
-        names=["synth1"], offsets=np.asarray([0, GENOME_BP], np.uint64),
+        codes=codes, pac=dna.pack_codes(codes), length=genome_bp,
+        names=["synth1"], offsets=np.asarray([0, genome_bp], np.uint64),
         amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    # lut_k=14: 4^14 >= 40M, so round-1 seeding is LUT-only (no FM steps)
-    index = build_index(genome, sa_rate=1, lut_k=14)
+    index = build_index(genome, sa_rate=sa_rate, lut_k=lut_k)
     save_index(index, path)
-    np.save(codes_path, codes)
     print(f"[bench] index built in {time.time() - t0:.0f}s", file=sys.stderr)
-    return index, codes
+    return index, np.load(codes_path, mmap_mode="r")
 
 
 def make_pairs(codes, n_pairs, rng):
     from soap3dp_tpu.io.fastq import ReadBatch
-    from soap3dp_tpu.utils import dna
 
     n = len(codes)
     pos = rng.integers(0, n - INSERT - 1, n_pairs)
@@ -84,54 +97,39 @@ def make_pairs(codes, n_pairs, rng):
     return b1, b2
 
 
-class NullWriter:
-    needs_seq = False
-    needs_tags = False
-
-    def write(self, rec):
-        pass
-
-    def close(self):
-        pass
-
-
-def main() -> int:
-    from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
-    enable_persistent_cache()
+def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     import jax
 
     from soap3dp_tpu.fm.fmindex import device_index
-    from soap3dp_tpu.io.succinct import SuccinctWriter
+    from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
-    from soap3dp_tpu.pipeline.pair import PairSummary, align_pair_batch
+    from soap3dp_tpu.pipeline.pair import (PairSummary, align_pair_batch,
+                                           dispatch_pair_search)
+    from soap3dp_tpu.utils import timers
 
-    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    index, codes = get_index()
     t0 = time.time()
     didx = device_index(index)
     jax.block_until_ready(didx.fmi)
-    print(f"[bench] index upload: {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     rng = np.random.default_rng(11)
     opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2)
-    out = SuccinctWriter(os.path.join(CACHE, "bench.gout"), index)
+    out = writer_factory(index)
 
     # warmup (jit compile) with the EXACT timed batch shape, so the
     # timed region never sees a fresh XLA compile
-    wb1, wb2 = make_pairs(codes, BATCH, rng)
+    wb1, wb2 = make_pairs(codes, batch, rng)
     t0 = time.time()
     align_pair_batch(index, didx, wb1, wb2, opts, out)
-    print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
-    from soap3dp_tpu.utils import timers
-    timers.report("[bench warmup]")
+    print(f"[bench:{name}] warmup (compile): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    timers.report(f"[bench:{name} warmup]")
 
-    from soap3dp_tpu.io.fastq import ReadBatch
-    from soap3dp_tpu.pipeline.pair import dispatch_pair_search
-
-    b1, b2 = make_pairs(codes, N_PAIRS, rng)
+    b1, b2 = make_pairs(codes, n_pairs, rng)
     batches = []
-    for s in range(0, N_PAIRS, BATCH):
-        sl = slice(s, s + BATCH)
+    for s in range(0, n_pairs, batch):
+        sl = slice(s, s + batch)
         batches.append((ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None),
                         ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)))
     total = PairSummary()
@@ -151,23 +149,59 @@ def main() -> int:
         batch_times.append(time.time() - tb)
     elapsed = time.time() - t0
     out.close()
-    from soap3dp_tpu.utils import timers
-    timers.report("[bench]")
+    timers.report(f"[bench:{name}]")
 
-    # median per-batch rate: the remote-TPU link adds sporadic multi-
-    # hundred-ms stalls that would otherwise dominate a 2-batch total
     med = sorted(batch_times)[len(batch_times) // 2]
-    reads_per_s = 2 * BATCH / med
-    print(f"[bench] {total}", file=sys.stderr)
-    print(f"[bench] {2 * N_PAIRS} reads in {elapsed:.2f}s "
-          f"(median batch {med:.2f}s, batches "
-          f"{[round(b, 2) for b in batch_times]})", file=sys.stderr)
+    res = {
+        "reads_per_s": round(2 * batch / med, 1),
+        "elapsed_reads_per_s": round(2 * n_pairs / elapsed, 1),
+        "batches": [round(b, 2) for b in batch_times],
+    }
+    print(f"[bench:{name}] {total}", file=sys.stderr)
+    print(f"[bench:{name}] {2 * n_pairs} reads in {elapsed:.2f}s "
+          f"(median batch {med:.2f}s -> {res['reads_per_s']:.0f} reads/s; "
+          f"elapsed rate {res['elapsed_reads_per_s']:.0f})", file=sys.stderr)
+    return res
+
+
+def main() -> int:
+    from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+
+    from soap3dp_tpu.io.sam import SamWriter
+    from soap3dp_tpu.io.succinct import SuccinctWriter
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+
+    def succ(index):
+        return SuccinctWriter(os.path.join(CACHE, "bench.gout"), index)
+
+    def samw(index):
+        return SamWriter(os.path.join(CACHE, "bench.sam"), index)
+
+    profiles = {}
+    index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
+    profiles["main"] = run_profile("main", index40, codes40, succ,
+                                   N_PAIRS, BATCH)
+    if not os.environ.get("BENCH_MAIN_ONLY"):
+        index250, codes250 = get_index(250_000_000, sa_rate=4, lut_k=13)
+        profiles["chr1_scale"] = run_profile(
+            "chr1_scale", index250, codes250, succ, SCALE_PAIRS, BATCH)
+        del index250, codes250
+        profiles["sam_out"] = run_profile("sam_out", index40, codes40, samw,
+                                          SCALE_PAIRS, BATCH)
+
+    main_rate = profiles["main"]["reads_per_s"]
     print(json.dumps({
-        "metric": f"PE 100bp end-to-end reads/s/chip ({GENOME_BP / 1e6:.0f}Mbp "
-                  "synthetic index, k=2 + DP rescue, succinct output)",
-        "value": round(reads_per_s, 1),
+        "metric": "PE 100bp end-to-end reads/s/chip (40Mbp synthetic index, "
+                  "k=2 + DP rescue, succinct output; steady-state median "
+                  "batch rate)",
+        "value": main_rate,
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "vs_baseline": round(main_rate / BASELINE_READS_PER_S, 3),
+        "elapsed_reads_per_s": profiles["main"]["elapsed_reads_per_s"],
+        "profiles": profiles,
     }))
     return 0
 

@@ -215,23 +215,31 @@ def _search_batch(
 
     # dedupe BEFORE verification: a true placement is found by up to
     # k+1 exact seeds, so verifying the raw candidate list costs ~S x
-    # the gather work of verifying unique (row, tp) placements. Sort +
-    # neighbor-mask + second compaction to the (smaller) unique budget.
+    # the gather work of verifying unique (row, tp) placements.
+    # Mechanism: scatter-min hash dedupe — a device sort of the K
+    # candidates measured ~550ms at K=1M on a v5e chip (TPU sorts are
+    # many bitonic passes); the hash table is one scatter + two gathers.
+    # Same-key losers of a rare slot collision survive here and are
+    # removed by the host-side dedupe in hits_to_table.
     if K2 <= 0:
         K2 = K
-    krow = jnp.where(pos_ok, orow, ROW_SENTINEL)
+    idxs = jnp.arange(K, dtype=jnp.int32)
+    krow = jnp.where(pos_ok, orow.astype(U32), U32(0xFFFFFFFF))
     ktp = jnp.where(pos_ok, tp, SENTINEL)
-    s_row, s_tp = jax.lax.sort((krow, ktp), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         (s_row[1:] != s_row[:-1]) | (s_tp[1:] != s_tp[:-1])])
-    first &= s_row != ROW_SENTINEL
+    hb = max((K - 1).bit_length() + 1, 10)          # table = 2x candidates
+    h = (krow * U32(0x9E3779B1)) ^ (ktp * U32(0x85EBCA77))
+    slot = ((h * U32(0xC2B2AE3D)) >> U32(32 - hb)).astype(jnp.int32)
+    table = jnp.full((1 << hb,), K, jnp.int32).at[slot].min(
+        jnp.where(pos_ok, idxs, K))
+    widx = jnp.minimum(table[slot], K - 1)
+    dup = pos_ok & (widx != idxs) & (krow[widx] == krow) & (ktp[widx] == ktp)
+    first = pos_ok & ~dup
     uniq = first.sum(dtype=jnp.int32)
     idx2 = jnp.nonzero(first, size=K2, fill_value=-1)[0]
     uvalid = idx2 >= 0
     idx2s = jnp.where(uvalid, idx2, 0)
-    urow = s_row[idx2s]
-    utp = s_tp[idx2s]
+    urow = jnp.where(uvalid, orow[idx2s], ROW_SENTINEL)
+    utp = ktp[idx2s]
 
     # verify unique placements in the packed domain
     read_words = fmindex.pack_reads(oriented)                # (R, W)

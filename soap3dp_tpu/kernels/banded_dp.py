@@ -815,6 +815,11 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
         runs_ops, runs_cnts, ridx, of, active & (clipv > 0),
         jnp.int32(OP_CLIP), clipv)
 
+    # pack each run as (op << 12 | cnt) — halves the result bytes, and
+    # D2H bandwidth over a remote-TPU link is a dominant pipeline cost.
+    # cnt >= 4096 cannot happen while windows/reads are < 4096 (the
+    # caller guards); the clamp + overflow flag keeps it safe anyway.
+    of = jnp.where(runs_cnts.max(axis=1, keepdims=True) > 4095, 1, of)
     stats_ref[:, 0:1] = bS
     stats_ref[:, 1:2] = bI
     stats_ref[:, 2:3] = bJ
@@ -823,8 +828,7 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
     stats_ref[:, 5:6] = jnp.minimum(ridx, MR)
     stats_ref[:, 6:7] = of
     stats_ref[:, 7:8] = zi
-    runs_ref[:, :MR] = runs_ops
-    runs_ref[:, MR:] = runs_cnts
+    runs_ref[:, :] = (runs_ops << 12) | jnp.minimum(runs_cnts, 4095)
 
 
 @partial(jax.jit, static_argnames=("sc", "pt", "mr", "interpret"))
@@ -855,17 +859,22 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
         ],
         out_specs=[
             pl.BlockSpec((pt, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, 2 * mr), lambda i: (i, 0),
+            pl.BlockSpec((pt, mr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((P, 8), jnp.int32),
-            jax.ShapeDtypeStruct((P, 2 * mr), jnp.int32),
+            jax.ShapeDtypeStruct((P, mr), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((ND, pt, Lr1), jnp.uint8)],
         interpret=interpret,
     )(params, reads_pad, wins.astype(jnp.int32))
     return stats, runs
+
+
+@jax.jit
+def _gather_runs_u16(runs: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(runs, idx, axis=0).astype(jnp.uint16)
 
 
 def _fused_tile(ND: int) -> int | None:
@@ -901,6 +910,7 @@ def dp_align(
     mr = max(MAX_RUNS, _max_runs_bound(Lr))
     n_sh = mesh.devices.size if mesh is not None else 1
     if (Lr + 1 <= 128 and pt is not None and P % (pt * n_sh) == 0
+            and Lw < 4096   # run counts must fit the 12-bit packing
             and jax.default_backend() == "tpu"
             and not os.environ.get("SOAP3DP_NO_PALLAS")):
         call = partial(_dp_align_pallas_call, sc=sc, pt=pt, mr=mr)
@@ -917,12 +927,24 @@ def dp_align(
             reads, jnp.asarray(rlens), wins, jnp.asarray(wlens),
             jnp.asarray(clip_l), jnp.asarray(clip_r), jnp.asarray(anchor_l),
             jnp.asarray(anchor_r), jnp.asarray(cutoff, jnp.int32))
-        # one packed D2H event
-        host = np.asarray(jnp.concatenate([stats, runs], axis=1))
-        st = host[:, :8]
-        return (st[:, 0], st[:, 1], st[:, 2], st[:, 3],
-                host[:, 8:8 + mr], host[:, 8 + mr:8 + 2 * mr],
-                st[:, 5], st[:, 4], st[:, 6].astype(bool))
+        st = np.asarray(stats)                            # (P, 8), ~small
+        score, nrun, startj = st[:, 0], st[:, 5], st[:, 4]
+        ops = np.zeros((P, mr), np.int32)
+        cnts = np.zeros((P, mr), np.int32)
+        # transfer packed runs for the lanes that passed only (most
+        # don't): bucketed device gather, u16 rows, one D2H event
+        pass_idx = np.flatnonzero((score >= np.asarray(cutoff)) & (nrun > 0))
+        if len(pass_idx):
+            from soap3dp_tpu.utils import shapes
+            nb = min(shapes.bucket(len(pass_idx), min_size=256), P)
+            idx_pad = pass_idx if len(pass_idx) >= nb else \
+                np.pad(pass_idx, (0, nb - len(pass_idx)))
+            sub = np.asarray(_gather_runs_u16(runs, jnp.asarray(idx_pad[:nb])))
+            sub = sub[: len(pass_idx)].astype(np.int32)
+            ops[pass_idx] = sub >> 12
+            cnts[pass_idx] = sub & 0xFFF
+        return (score, st[:, 1], st[:, 2], st[:, 3],
+                ops, cnts, nrun, startj, st[:, 6].astype(bool))
     # fallback: scan forward + scan traceback + host RLE (with a mesh,
     # the scan is used directly — XLA partitions it over the sharded
     # problem axis; the unwrapped Pallas forward kernel cannot shard)

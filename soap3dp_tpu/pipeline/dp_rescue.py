@@ -76,10 +76,18 @@ def single_dp_seed_matrix(lens: np.ndarray, max_len: int
     return pos.astype(np.int32), slen.astype(np.int32)
 
 
-def deep_dp_seed_matrix(lens: np.ndarray, max_len: int, round2: bool = False
+def deep_dp_seed_matrix(lens: np.ndarray, max_len: int, round2: bool = False,
+                        halved: bool = False
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Per-read seed matrix for deep-DP seeding
-    (getSeedPositions STAGE_DEEP_DP_ROUND1/2, definitions.h:378-441)."""
+    (getSeedPositions STAGE_DEEP_DP_ROUND1/2, definitions.h:378-441).
+
+    With ``halved``, every seed is replaced by its two exact halves —
+    the pigeonhole equivalent of the reference's 1-mismatch seed kernel
+    (single_1_mismatch_alignment2, alignment.cu:1839): a placement with
+    <=1 mismatch inside the original seed matches at least one half
+    exactly. Measured by tools/seed_sensitivity.py.
+    """
     lens = np.asarray(lens, np.int64)
     table = [52, 30, 28, 26, 24] if round2 else [45, 26, 24, 22, 20]
     slen = np.select([lens > 150, lens > 80, lens > 60, lens > 40],
@@ -95,6 +103,13 @@ def deep_dp_seed_matrix(lens: np.ndarray, max_len: int, round2: bool = False
                      np.maximum(lens - slen, 0)[:, None])
     last = np.minimum((num - 1) * apart, np.maximum(lens - slen, 0))
     pos = np.where(i < num[:, None], pos, last[:, None])
+    if halved:
+        half = slen // 2
+        pos = np.concatenate([pos, pos + half[:, None]], axis=1)
+        # seed_candidates takes one length per read: both halves use
+        # floor(slen/2); the second half simply starts mid-seed (its few
+        # extra tail bases are covered by the next seed's first half)
+        return pos.astype(np.int32), half.astype(np.int32)
     return pos.astype(np.int32), slen.astype(np.int32)
 
 

@@ -950,7 +950,13 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     okc &= (ins >= v - margin) & (ins <= u + margin)
     if not okc.any():
         return np.zeros(0, int)
-    sel = np.flatnonzero(okc)[:200000]
+    sel = np.flatnonzero(okc)
+    DEEP_DP_COMBO_CAP = 200_000
+    if len(sel) > DEEP_DP_COMBO_CAP:
+        import sys
+        print(f"[soap3dp] warning: deep-DP candidate pairs capped at "
+              f"{DEEP_DP_COMBO_CAP} (had {len(sel)})", file=sys.stderr)
+        sel = sel[:DEEP_DP_COMBO_CAP]
     rd = pid[sel].astype(np.int32)
     i1 = i1[sel]
     i2 = i2[sel]

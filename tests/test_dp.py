@@ -161,7 +161,7 @@ def test_fused_align_matches_scan_path(with_anchor):
         *jprob, jnp.asarray(cutoff), SC, pt=bd.PALLAS_P_TILE, mr=mr,
         interpret=True)
     stats, runs = np.asarray(stats), np.asarray(runs)
-    f_ops, f_cnts = runs[:, :mr], runs[:, mr:]
+    f_ops, f_cnts = runs >> 12, runs & 0xFFF
 
     assert np.array_equal(stats[:, 0], sS)
     assert np.array_equal(stats[:, 1], sI)
