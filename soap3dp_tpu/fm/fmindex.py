@@ -347,3 +347,16 @@ def revcomp_reads(reads: jax.Array, lens: jax.Array) -> jax.Array:
     src = jnp.clip(lens[:, None] - 1 - i, 0, L - 1)
     vals = 3 - jnp.take_along_axis(reads, src, axis=1)
     return jnp.where(i < lens[:, None], vals, 0).astype(reads.dtype)
+
+
+def revcomp_reads_uniform(reads: jax.Array, n: int) -> jax.Array:
+    """revcomp_reads for a batch whose reads ALL have length ``n``
+    (static): a lane reversal instead of a per-element gather — the
+    gather variant measured ~200ms per 400k x 100bp batch on a v5e
+    chip, the reversal is noise. Callers check uniformity host-side."""
+    B, L = reads.shape
+    rc = (3 - jnp.flip(reads[:, :n], axis=1)).astype(reads.dtype)
+    if n == L:
+        return rc
+    return jnp.concatenate(
+        [rc, jnp.zeros((B, L - n), reads.dtype)], axis=1)

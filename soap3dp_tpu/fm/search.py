@@ -139,7 +139,7 @@ def _unpack_read_matrix(words: jax.Array, L: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
-                                   "K", "L", "K2"))
+                                   "K", "L", "K2", "uniform_len"))
 def _search_batch(
     idx: DeviceIndex,
     reads: jax.Array,   # (B, L) uint8 codes OR (B, W) uint32 packed (L given)
@@ -151,6 +151,7 @@ def _search_batch(
     K: int = 0,         # candidate-compaction budget (0 = R*S*cap, no compaction win)
     L: int = 0,         # read-matrix width when `reads` is packed uint32
     K2: int = 0,        # unique-placement budget (0 = K, lossless)
+    uniform_len: int = 0,  # common read length when ALL reads share it
 ) -> tuple[HitArrays, jax.Array]:
     if reads.dtype == jnp.uint32:
         reads = _unpack_read_matrix(reads, L)
@@ -159,7 +160,11 @@ def _search_batch(
     n = idx.n
 
     # oriented rows: forward then reverse-complement
-    oriented = jnp.concatenate([reads, fmindex.revcomp_reads(reads, lens)], axis=0)
+    if uniform_len:
+        rc = fmindex.revcomp_reads_uniform(reads, min(uniform_len, L))
+    else:
+        rc = fmindex.revcomp_reads(reads, lens)
+    oriented = jnp.concatenate([reads, rc], axis=0)
     olens = jnp.concatenate([lens, lens])
     R = 2 * B
     if K <= 0:
@@ -278,11 +283,12 @@ def _steps_for(idx: DeviceIndex, seed_q: int, min_seg: int) -> int:
     return max(seed_q - idx.lut_k, min(idx.lut_k - 1, seed_q))
 
 
-def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
+def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S,
+                   uniform_len=0):
     """Dispatch _search_batch, growing the compaction budget on overflow.
 
     The returned arrays are sliced (device-side) to a bucketed prefix:
-    the sort pushes sentinel entries to the end, so the prefix holds
+    compaction pushes pad entries to the end, so the prefix holds
     every valid hit and the host transfer shrinks to the real hit count.
     """
     K = shapes.bucket(2 * B * S * 2, min_size=1024)
@@ -290,7 +296,7 @@ def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S):
     while True:
         Kc = min(K, K_max)
         hits, totals = _search_batch(idx, reads, lens, cfg, cap, steps,
-                                     seed_q, Kc)
+                                     seed_q, Kc, uniform_len=uniform_len)
         th = np.asarray(totals)
         t, u = int(th[0]), int(th[1])
         if t <= Kc or K >= K_max:  # kernel K2 defaults to K (lossless)
@@ -356,11 +362,14 @@ class PendingSearch:
         self.K = shapes.bucket(self.B * S * 5 // 4, min_size=1024)
         self.K2 = shapes.bucket(self.B * 2, min_size=1024)
         self.K_max = 2 * self.B * S * cfg.occ_cap
+        # uniform-length batches take the cheap lane-reversal revcomp
+        self.uniform = int(self.lens_h[0]) \
+            if (self.lens_h == self.lens_h[0]).all() else 0
         # async dispatch; no sync here
         self._hits, self._total = _search_batch(
             idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
             self.seed_q, min(self.K, self.K_max), L=self.L,
-            K2=min(self.K2, self.K_max))
+            K2=min(self.K2, self.K_max), uniform_len=self.uniform)
 
     def _strip_pad(self, h: HitArrays) -> HitArrays:
         """Drop hits of mesh-padding rows and remap oriented row ids
@@ -396,7 +405,7 @@ class PendingSearch:
             hits, totals = _search_batch(
                 self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
                 self.steps, self.seed_q, min(K, self.K_max), L=self.L,
-                K2=min(K2, self.K_max))
+                K2=min(K2, self.K_max), uniform_len=self.uniform)
             th = np.asarray(totals)
             t, u = int(th[0]), int(th[1])
         # unique placements are compaction-ordered (pads at the end), so
@@ -433,8 +442,10 @@ class PendingSearch:
             else:
                 r2 = jnp.asarray(reads_h[sel_pad])
                 l2 = jnp.asarray(self.lens_h[sel_pad])
+            lh = self.lens_h[sel_pad]
+            un2 = int(lh[0]) if (lh == lh[0]).all() else 0
             hits2 = _run_compacted(self.idx, r2, l2, cfg, cap, steps2, 0,
-                                   nb, S)
+                                   nb, S, uniform_len=un2)
             hits = _merge_round2(hits, hits2, sel, B, nb)
         return self._strip_pad(hits)
 

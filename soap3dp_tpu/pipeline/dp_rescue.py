@@ -352,9 +352,14 @@ def run_banded_dp(
         # stays on device end to end: orientation, window extraction and
         # the DP all consume HBM-resident arrays (no host round trip)
         cread = dev(cand.read)
+        lens_h = np.asarray(lens)
+        un = int(lens_h[0]) if len(lens_h) and (lens_h == lens_h[0]).all() \
+            else 0
+        rc = fmindex.revcomp_reads_uniform(jnp.asarray(reads), un) if un \
+            else fmindex.revcomp_reads(jnp.asarray(reads),
+                                       jnp.asarray(lens, jnp.int32))
         oriented = jnp.where(
-            dev(cand.strand[:, None] == 1),
-            fmindex.revcomp_reads(jnp.asarray(reads), jnp.asarray(lens, jnp.int32))[cread],
+            dev(cand.strand[:, None] == 1), rc[cread],
             jnp.asarray(reads)[cread])
         rlen = lens[cand.read].astype(np.int32)
         wins = fmindex.extract_genome(

@@ -596,15 +596,18 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
                          lens1, lens2, opts, sc, writer) -> np.ndarray:
     """DP the unaligned mate into windows derived from anchor hits.
 
-    Anchors are tried best-first in escalating rounds (2, then all 8):
-    most pairs rescue on their first anchor, so the expensive
-    mate-window DP runs on a fraction of the anchor set.
+    All (up to MAX_ANCHORS) anchors are packed into ONE DP batch and the
+    best mate placement is selected globally — the reference's
+    HalfEndAlgnBatch semantics (DV-DPfunctions.cu:2027-2109). Most
+    pairs have one or two anchor hits, so a best-first escalation would
+    barely shrink the DP batch while paying a whole extra
+    dispatch/transfer round trip per batch.
     """
     rescued_all: list[np.ndarray] = []
     remaining = half
-    # round 0 — phase B analog (newSemiGlobalDP, DV-SemiDP.cu:345):
-    # seed the hitless mate and DP narrow windows around seeded loci
-    # that satisfy an anchor's insert range. Off by default: with the
+    # phase B analog (newSemiGlobalDP, DV-SemiDP.cu:345): seed the
+    # hitless mate and DP narrow windows around seeded loci that
+    # satisfy an anchor's insert range. Off by default: with the
     # full-window DP already batched, the extra seeding stage costs
     # more than it saves on this hardware (opts.half_rescue_seeded).
     if opts.half_rescue_seeded:
@@ -613,16 +616,12 @@ def _half_aligned_rescue(index, didx, b1, b2, t1, t2, st1, st2, half,
         if got.size:
             rescued_all.append(got)
             remaining = np.setdiff1d(remaining, got, assume_unique=True)
-    for max_anchors in (2, MAX_ANCHORS):
-        if remaining.size == 0:
-            break
+    if remaining.size:
         got = _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2,
                                   remaining, lens1, lens2, opts, sc, writer,
-                                  max_anchors, skip_anchors=0 if
-                                  max_anchors == 2 else 2)
+                                  MAX_ANCHORS, skip_anchors=0)
         if got.size:
             rescued_all.append(got)
-            remaining = np.setdiff1d(remaining, got, assume_unique=True)
     return np.concatenate(rescued_all) if rescued_all else np.zeros(0, int)
 
 
