@@ -103,7 +103,8 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
-    from soap3dp_tpu.pipeline.pair import (PairSummary, align_pair_batch,
+    from soap3dp_tpu.pipeline.pair import (PairSummary, RescueQueue,
+                                           align_pair_batch,
                                            dispatch_pair_search)
     from soap3dp_tpu.utils import timers
 
@@ -117,11 +118,18 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2)
     out = writer_factory(index)
 
-    # warmup (jit compile) with the EXACT timed batch shape, so the
-    # timed region never sees a fresh XLA compile
+    # warmup (jit compile) mirroring the timed loop EXACTLY — same batch
+    # shape, same number of RescueQueue adds and the same flush points —
+    # so the timed region never sees a fresh XLA compile
     wb1, wb2 = make_pairs(codes, batch, rng)
+    n_batches = -(-n_pairs // batch)
     t0 = time.time()
-    align_pair_batch(index, didx, wb1, wb2, opts, out)
+    wq = RescueQueue(index, didx, opts)
+    for _ in range(n_batches):
+        align_pair_batch(index, didx, wb1, wb2, opts, out, rescue_queue=wq)
+        if wq.should_flush():
+            wq.flush(out)
+    wq.flush(out)
     print(f"[bench:{name}] warmup (compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
     timers.report(f"[bench:{name} warmup]")
@@ -136,15 +144,18 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     t0 = time.time()
     # double-buffered: dispatch batch i+1's device search before doing
     # batch i's host work (the reference's GPU/CPU overlap,
-    # alignment.cu:554-561)
+    # alignment.cu:554-561); DP rescue defers via the RescueQueue
     batch_times = []
+    rq = RescueQueue(index, didx, opts)
     pending = dispatch_pair_search(didx, *batches[0], opts)
     for i, (sb1, sb2) in enumerate(batches):
         tb = time.time()
         nxt = dispatch_pair_search(didx, *batches[i + 1], opts) \
             if i + 1 < len(batches) else None
         total.add(align_pair_batch(index, didx, sb1, sb2, opts, out,
-                                   pending_search=pending))
+                                   pending_search=pending, rescue_queue=rq))
+        if rq.should_flush() or nxt is None:
+            total.add(rq.flush(out))
         pending = nxt
         batch_times.append(time.time() - tb)
     elapsed = time.time() - t0
@@ -174,11 +185,14 @@ def main() -> int:
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
+    from soap3dp_tpu.io.aio import AsyncWriter
+
     def succ(index):
-        return SuccinctWriter(os.path.join(CACHE, "bench.gout"), index)
+        return AsyncWriter(SuccinctWriter(os.path.join(CACHE, "bench.gout"),
+                                          index))
 
     def samw(index):
-        return SamWriter(os.path.join(CACHE, "bench.sam"), index)
+        return AsyncWriter(SamWriter(os.path.join(CACHE, "bench.sam"), index))
 
     profiles = {}
     index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)

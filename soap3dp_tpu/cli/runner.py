@@ -58,17 +58,22 @@ def _fix_quals(opts, *batches):
 
 
 def _writer(opts, index, path):
+    from soap3dp_tpu.io.aio import AsyncWriter
     from soap3dp_tpu.io.sam import SamWriter
     from soap3dp_tpu.io.succinct import SuccinctWriter, BamWriter
     from soap3dp_tpu.pipeline import options as opt
 
     if opts.output_format == opt.FORMAT_SUCCINCT:
-        return SuccinctWriter(path + ".gout", index)
-    if opts.output_format == opt.FORMAT_BAM:
-        return BamWriter(path + ".bam", index, read_group=opts.read_group,
-                         sample=opts.sample_name, rg_option=opts.rg_option)
-    return SamWriter(path + ".sam", index, read_group=opts.read_group,
-                     sample=opts.sample_name, rg_option=opts.rg_option)
+        w = SuccinctWriter(path + ".gout", index)
+    elif opts.output_format == opt.FORMAT_BAM:
+        w = BamWriter(path + ".bam", index, read_group=opts.read_group,
+                      sample=opts.sample_name, rg_option=opts.rg_option)
+    else:
+        w = SamWriter(path + ".sam", index, read_group=opts.read_group,
+                      sample=opts.sample_name, rg_option=opts.rg_option)
+    # serialization + file IO run on an output thread (the reference's
+    # output pthreads, alignment.cu:1005-1027)
+    return AsyncWriter(w)
 
 
 def run_single(args) -> int:
@@ -103,15 +108,20 @@ def run_pair(args) -> int:
 
     from soap3dp_tpu.pipeline.pair import dispatch_pair_search
 
+    from soap3dp_tpu.pipeline.pair import RescueQueue
+
     opts = _build_options(args, args.reads1)
     index, didx = _load(args.index, getattr(args, "devices", 1))
     total = PairSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         # double-buffered batch loop: the next batch's device search runs
         # while this batch's host post-processing/output happens; a
-        # reader thread prefetches/parses input batches (AIO analog)
+        # reader thread prefetches/parses input batches (AIO analog);
+        # DP rescue of phase-A failures accumulates across batches and
+        # flushes as one large batch (RescueQueue)
         from soap3dp_tpu.io.aio import prefetch
 
+        rq = RescueQueue(index, didx, opts)
         it = prefetch(read_pairs(args.reads1, args.reads2,
                                  opts.batch_size, opts.max_read_len))
         cur = next(it, None)
@@ -126,13 +136,20 @@ def run_pair(args) -> int:
             nxt_pending = dispatch_pair_search(didx, *nxt, opts) if nxt else None
             t0 = time.time()
             s = align_pair_batch(index, didx, b1, b2, opts, w,
-                                 pending_search=pending)
+                                 pending_search=pending, rescue_queue=rq)
             total.add(s)
+            if rq.should_flush() or nxt is None:
+                qn = rq.pending
+                fs = rq.flush(w)
+                total.add(fs)
+                if qn:
+                    print(f"[soap3dp] rescue flush: {qn} pairs -> "
+                          f"{fs.paired_dp} DP-paired, "
+                          f"{fs.single_rescued} singly aligned, "
+                          f"{fs.unaligned} unaligned", file=sys.stderr)
             cur, pending = nxt, nxt_pending
             print(f"[soap3dp] batch: {s.num_pairs} pairs, "
-                  f"{s.paired_bwt} BWT-paired, {s.paired_dp} DP-paired, "
-                  f"{s.single_rescued} singly aligned, "
-                  f"{s.unaligned} unaligned ({time.time() - t0:.2f}s)",
+                  f"{s.paired_bwt} BWT-paired ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
     _summary(opts, total)
     return 0

@@ -41,3 +41,62 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
                 raise err[0]
             return
         yield item
+
+
+class AsyncWriter:
+    """Run another writer on a dedicated thread: record serialization
+    and file IO no longer block the batch loop — the analog of the
+    reference's per-batch output pthreads (alignment.cu:1005-1027).
+
+    Callers must not mutate arrays they pass in after the call (the
+    pipeline emitters build fresh arrays per block, so this holds).
+    """
+
+    def __init__(self, inner, depth: int = 16):
+        self.inner = inner
+        self.needs_seq = getattr(inner, "needs_seq", True)
+        self.needs_tags = getattr(inner, "needs_tags", True)
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: list[BaseException] = []
+        if hasattr(inner, "write_block"):
+            self.write_block = self._make("write_block")
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="soap3dp-writer")
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                return
+            name, args, kw = item
+            try:
+                getattr(self.inner, name)(*args, **kw)
+            except BaseException as e:
+                self._err.append(e)
+
+    def _put(self, name, args, kw):
+        if self._err:
+            raise self._err[0]
+        self._q.put((name, args, kw))
+
+    def _make(self, name):
+        def call(*args, **kw):
+            self._put(name, args, kw)
+        return call
+
+    def write(self, rec):
+        self._put("write", (rec,), {})
+
+    def close(self):
+        self._q.put(_SENTINEL)
+        self._t.join()
+        self.inner.close()
+        if self._err:
+            raise self._err[0]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -69,6 +69,41 @@ def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
                     start=start, flagged=flagged)
 
 
+def subset_table(t: HitTable, ids: np.ndarray) -> HitTable:
+    """Sub-table for the given read ids, renumbered 0..len(ids)-1."""
+    ids = np.asarray(ids, np.int64)
+    cnt = t.counts()[ids]
+    total = int(cnt.sum())
+    rows = np.repeat(t.start[ids], cnt) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
+    start = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(cnt, out=start[1:])
+    return HitTable(
+        read_id=np.repeat(np.arange(len(ids), dtype=np.int32), cnt),
+        strand=t.strand[rows], pos=t.pos[rows], nmis=t.nmis[rows],
+        start=start, flagged=t.flagged[ids])
+
+
+def concat_tables(tables: list[HitTable]) -> HitTable:
+    """Concatenate renumbered sub-tables along the read axis."""
+    off_read = 0
+    rid, starts = [], [np.zeros(1, np.int64)]
+    off_row = 0
+    for t in tables:
+        rid.append(t.read_id + off_read)
+        starts.append(t.start[1:] + off_row)
+        off_read += len(t.flagged)
+        off_row += len(t.read_id)
+    return HitTable(
+        read_id=np.concatenate(rid),
+        strand=np.concatenate([t.strand for t in tables]),
+        pos=np.concatenate([t.pos for t in tables]),
+        nmis=np.concatenate([t.nmis for t in tables]),
+        start=np.concatenate(starts),
+        flagged=np.concatenate([t.flagged for t in tables]))
+
+
 @dataclasses.dataclass
 class ReadStats:
     """Per-read best-hit statistics (BWA X0/X1 semantics)."""

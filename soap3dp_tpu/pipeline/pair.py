@@ -179,6 +179,7 @@ def align_pair_batch(
     opts: AlignOptions,
     writer: SamWriter,
     pending_search=None,
+    rescue_queue: "RescueQueue | None" = None,
 ) -> PairSummary:
     B = len(b1)
     summary = PairSummary(num_pairs=B)
@@ -216,6 +217,23 @@ def align_pair_batch(
         summary.paired_bwt += len(paired)
         summary.num_records += 2 * len(paired)
 
+    todo = np.flatnonzero(~done)
+    if todo.size and rescue_queue is not None:
+        # phases B-E run deferred: failures from several input batches
+        # flush as one large rescue batch (see RescueQueue)
+        rescue_queue.add(b1, b2, todo, t1, t2)
+    elif todo.size:
+        _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
+                           lens1, lens2, opts, sc, writer, summary)
+    return summary
+
+
+def _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
+                       lens1, lens2, opts, sc, writer, summary) -> None:
+    """Phases B-E over the pairs phase A could not pair (`todo`)."""
+    B = len(b1)
+    done = np.ones(B, bool)
+    done[todo] = False
     if opts.dp_enabled:
         # ---- phase B/C: half-aligned rescue ----
         half = np.flatnonzero(~done & ((st1.best_nmis >= 0) | (st2.best_nmis >= 0)))
@@ -249,7 +267,88 @@ def align_pair_batch(
         _emit_unmapped_pair(writer, b1, b2, b)
         summary.unaligned += 1
         summary.num_records += 2
-    return summary
+
+
+class RescueQueue:
+    """Cross-batch accumulator for the DP rescue phases B-E.
+
+    Phase A pairs ~97% of typical data; the rescue phases then run on a
+    few thousand pairs, where fixed dispatch/transfer latency per
+    device call dwarfs the useful work. Queued failures from several
+    input batches flush as ONE large rescue batch. Output is unsorted
+    (SO:unsorted), so deferred emission is equivalent — the reference
+    similarly holds records in its OCC caches and flushes unpaired
+    output at its own boundaries (BGS-IO.h:69-76).
+    """
+
+    def __init__(self, index, didx, opts: AlignOptions,
+                 flush_pairs: int = 16384):
+        self.index = index
+        self.didx = didx
+        self.opts = opts
+        self.flush_pairs = flush_pairs
+        self._items: list[tuple] = []
+        self._pending = 0
+
+    def add(self, b1: ReadBatch, b2: ReadBatch, ids: np.ndarray,
+            t1: hits.HitTable, t2: hits.HitTable) -> None:
+        self._items.append((
+            ReadBatch(names=[b1.names[i] for i in ids], codes=b1.codes[ids],
+                      lens=b1.lens[ids],
+                      quals=None if b1.quals is None else b1.quals[ids]),
+            ReadBatch(names=[b2.names[i] for i in ids], codes=b2.codes[ids],
+                      lens=b2.lens[ids],
+                      quals=None if b2.quals is None else b2.quals[ids]),
+            hits.subset_table(t1, ids), hits.subset_table(t2, ids)))
+        self._pending += len(ids)
+
+    @property
+    def pending(self) -> int:
+        return self._pending
+
+    def should_flush(self) -> bool:
+        return self._pending >= self.flush_pairs
+
+    def flush(self, writer) -> PairSummary:
+        """Run phases B-E on everything queued; returns their summary
+        (num_pairs = 0: the pairs were already counted at phase A)."""
+        summary = PairSummary()
+        if not self._items:
+            return summary
+        items, self._items, self._pending = self._items, [], 0
+        cb1 = _concat_batches([it[0] for it in items])
+        cb2 = _concat_batches([it[1] for it in items])
+        t1 = hits.concat_tables([it[2] for it in items])
+        t2 = hits.concat_tables([it[3] for it in items])
+        B = len(cb1)
+        lens1 = cb1.lens.astype(np.int32)
+        lens2 = cb2.lens.astype(np.int32)
+        st1 = hits.read_stats(t1, B)
+        st2 = hits.read_stats(t2, B)
+        sc = DPScores(self.opts.match_score, self.opts.mismatch_score,
+                      self.opts.gap_open_score, self.opts.gap_extend_score)
+        _run_rescue_phases(self.index, self.didx, cb1, cb2, t1, t2, st1, st2,
+                           np.arange(B), lens1, lens2, self.opts, sc, writer,
+                           summary)
+        return summary
+
+
+def _concat_batches(batches: list[ReadBatch]) -> ReadBatch:
+    L = max(b.codes.shape[1] for b in batches)
+
+    def pad(c):
+        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+
+    names: list[bytes] = []
+    for b in batches:
+        names.extend(b.names)
+    quals = None
+    if all(b.quals is not None for b in batches):
+        quals = np.concatenate([pad(b.quals) for b in batches])
+    return ReadBatch(names=names,
+                     codes=np.concatenate([pad(b.codes) for b in batches]),
+                     lens=np.concatenate([b.lens for b in batches]),
+                     quals=quals)
 
 
 def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):

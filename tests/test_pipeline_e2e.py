@@ -382,3 +382,43 @@ def test_table_mapq_uses_real_mismatch_qualities(small_index,
     assert lo != hi, (lo, hi)
     # low-quality mismatches are more forgivable -> higher MAPQ
     assert lo > hi
+
+
+def test_rescue_queue_matches_inline():
+    """Deferred cross-batch rescue (RescueQueue) must produce exactly
+    the records of the inline phases, just in flushed order."""
+    import __graft_entry__ as g
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.pipeline.pair import RescueQueue, align_pair_batch
+
+    index, b1, b2, opts = g.make_tiny_pair_workload(n_pairs=36, seed=3)
+    didx = device_index(index)
+
+    w_in = g._CollectWriter()
+    s_in = align_pair_batch(index, didx, b1, b2, opts, w_in)
+
+    def half(b, sl):
+        return type(b)(names=b.names[sl], codes=b.codes[sl],
+                       lens=b.lens[sl], quals=None)
+
+    w_q = g._CollectWriter()
+    rq = RescueQueue(index, didx, opts)
+    s_q = align_pair_batch(index, didx, half(b1, slice(0, 18)),
+                           half(b2, slice(0, 18)), opts, w_q,
+                           rescue_queue=rq)
+    s_q.add(align_pair_batch(index, didx, half(b1, slice(18, 36)),
+                             half(b2, slice(18, 36)), opts, w_q,
+                             rescue_queue=rq))
+    s_q.add(rq.flush(w_q))
+
+    assert (s_in.paired_bwt, s_in.paired_dp, s_in.single_rescued,
+            s_in.unaligned, s_in.num_records) == \
+           (s_q.paired_bwt, s_q.paired_dp, s_q.single_rescued,
+            s_q.unaligned, s_q.num_records)
+
+    def keyset(w):
+        return sorted((r.qname, r.flag, r.chrom, r.pos, r.mapq, r.cigar,
+                       r.mate_chrom, r.mate_pos, r.tlen, tuple(r.tags))
+                      for r in w.records)
+
+    assert keyset(w_in) == keyset(w_q)
