@@ -140,38 +140,47 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
         sl = slice(s, s + batch)
         batches.append((ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None),
                         ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)))
-    total = PairSummary()
-    t0 = time.time()
-    # double-buffered: dispatch batch i+1's device search before doing
-    # batch i's host work (the reference's GPU/CPU overlap,
-    # alignment.cu:554-561); DP rescue defers via the RescueQueue
-    batch_times = []
-    rq = RescueQueue(index, didx, opts)
-    pending = dispatch_pair_search(didx, *batches[0], opts)
-    for i, (sb1, sb2) in enumerate(batches):
-        tb = time.time()
-        nxt = dispatch_pair_search(didx, *batches[i + 1], opts) \
-            if i + 1 < len(batches) else None
-        total.add(align_pair_batch(index, didx, sb1, sb2, opts, out,
-                                   pending_search=pending, rescue_queue=rq))
-        if rq.should_flush() or nxt is None:
-            total.add(rq.flush(out))
-        pending = nxt
-        batch_times.append(time.time() - tb)
-    elapsed = time.time() - t0
+    # two timed passes: residual cold compiles (a RescueQueue flush
+    # whose subset sizes cross a shape-bucket boundary) pollute pass 1;
+    # pass 2 is fully warm, and its TOTAL-ELAPSED rate — flushes and
+    # all — is the honest steady-state number reported as the value.
+    for p in range(2):
+        total = PairSummary()
+        t0 = time.time()
+        # double-buffered: dispatch batch i+1's device search before
+        # doing batch i's host work (the reference's GPU/CPU overlap,
+        # alignment.cu:554-561); DP rescue defers via the RescueQueue
+        batch_times = []
+        rq = RescueQueue(index, didx, opts)
+        pending = dispatch_pair_search(didx, *batches[0], opts)
+        for i, (sb1, sb2) in enumerate(batches):
+            tb = time.time()
+            nxt = dispatch_pair_search(didx, *batches[i + 1], opts) \
+                if i + 1 < len(batches) else None
+            total.add(align_pair_batch(index, didx, sb1, sb2, opts, out,
+                                       pending_search=pending,
+                                       rescue_queue=rq))
+            if rq.should_flush() or nxt is None:
+                total.add(rq.flush(out))
+            pending = nxt
+            batch_times.append(time.time() - tb)
+        elapsed = time.time() - t0
+        timers.report(f"[bench:{name} pass{p}]")
+        print(f"[bench:{name} pass{p}] {2 * n_pairs} reads in "
+              f"{elapsed:.2f}s", file=sys.stderr)
     out.close()
-    timers.report(f"[bench:{name}]")
 
     med = sorted(batch_times)[len(batch_times) // 2]
     res = {
-        "reads_per_s": round(2 * batch / med, 1),
-        "elapsed_reads_per_s": round(2 * n_pairs / elapsed, 1),
+        "reads_per_s": round(2 * n_pairs / elapsed, 1),
+        "median_batch_reads_per_s": round(2 * batch / med, 1),
         "batches": [round(b, 2) for b in batch_times],
     }
     print(f"[bench:{name}] {total}", file=sys.stderr)
-    print(f"[bench:{name}] {2 * n_pairs} reads in {elapsed:.2f}s "
-          f"(median batch {med:.2f}s -> {res['reads_per_s']:.0f} reads/s; "
-          f"elapsed rate {res['elapsed_reads_per_s']:.0f})", file=sys.stderr)
+    print(f"[bench:{name}] warm pass: {2 * n_pairs} reads in {elapsed:.2f}s "
+          f"-> {res['reads_per_s']:.0f} reads/s elapsed "
+          f"(median batch {med:.2f}s -> "
+          f"{res['median_batch_reads_per_s']:.0f})", file=sys.stderr)
     return res
 
 
@@ -209,12 +218,11 @@ def main() -> int:
     main_rate = profiles["main"]["reads_per_s"]
     print(json.dumps({
         "metric": "PE 100bp end-to-end reads/s/chip (40Mbp synthetic index, "
-                  "k=2 + DP rescue, succinct output; steady-state median "
-                  "batch rate)",
+                  "k=2 + DP rescue, succinct output; warm-pass total-elapsed "
+                  "rate incl. rescue flushes)",
         "value": main_rate,
         "unit": "reads/s",
         "vs_baseline": round(main_rate / BASELINE_READS_PER_S, 3),
-        "elapsed_reads_per_s": profiles["main"]["elapsed_reads_per_s"],
         "profiles": profiles,
     }))
     return 0
