@@ -83,20 +83,26 @@ def run_single(args) -> int:
 
     from soap3dp_tpu.io.aio import prefetch
 
+    from soap3dp_tpu.pipeline.single import SalvageQueue
+
     opts = _build_options(args, args.reads)
     index, didx = _load(args.index, getattr(args, "devices", 1))
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
+        sq = SalvageQueue(index, didx, opts)
         for batch in prefetch(read_single(args.reads, opts.batch_size,
                                           opts.max_read_len)):
             t0 = time.time()
             _fix_quals(opts, batch)
-            s = align_single_batch(index, didx, batch, opts, w)
+            s = align_single_batch(index, didx, batch, opts, w,
+                                   salvage_queue=sq)
             total.add(s)
+            if sq.should_flush():
+                total.add(sq.flush(w))
             print(f"[soap3dp] batch: {s.num_reads} reads, "
-                  f"{s.aligned_bwt} BWT-aligned, {s.aligned_dp} DP-aligned, "
-                  f"{s.unaligned} unaligned ({time.time() - t0:.2f}s)",
+                  f"{s.aligned_bwt} BWT-aligned ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
+        total.add(sq.flush(w))
     _summary(opts, total)
     return 0
 

@@ -20,11 +20,12 @@ This module produces the *same result set* with a uniform pipeline:
 3. device-side compaction of the surviving SA slots (most seed lanes
    have 0-1 occurrences; only real candidates are decoded/verified);
 4. one-gather SA decode (full SA) or a bounded LF walk (sampled SA);
-5. packed XOR/popcount verification of each candidate placement
+5. scatter-min hash dedupe of (row, position) placements (device
+   sorts measured ~10x the cost at these sizes);
+6. packed XOR/popcount verification of each unique placement
    against the genome (the reference's check-and-extend idea,
    2bwt-flex/SRA2BWTCheckAndExtend.h:57-66, promoted from a fallback
-   to the main verification path);
-6. per-(read,strand) dedupe via a lexicographic device sort.
+   to the main verification path).
 
 Reads with an over-budget seed interval are flagged and re-run with
 FULL pigeonhole segments and a larger cap — the same two-round budget
@@ -148,9 +149,9 @@ def _search_batch(
     cap: int,
     max_seed_steps: int,
     seed_q: int = 0,    # 0 = full pigeonhole segments
-    K: int = 0,         # candidate-compaction budget (0 = R*S*cap, no compaction win)
+    K: int = 0,         # candidate-compaction budget (0 = R*S*cap, lossless)
     L: int = 0,         # read-matrix width when `reads` is packed uint32
-    K2: int = 0,        # unique-placement budget (0 = K, lossless)
+    K2: int = 0,        # unique-placement budget (0 = lossless)
     uniform_len: int = 0,  # common read length when ALL reads share it
 ) -> tuple[HitArrays, jax.Array]:
     if reads.dtype == jnp.uint32:
@@ -195,7 +196,11 @@ def _search_batch(
     flagged = flagged[:B] | flagged[B:]
 
     # enumerate up to cap slots per seed (skip overflowed seeds entirely;
-    # their reads re-run in round 2 with full segments + a larger cap)
+    # their reads re-run in round 2 with full segments + a larger cap).
+    # NOTE: a two-level scheme (lane-parallel slot 0 + small compaction
+    # for multi-occurrence lanes) was measured SLOWER — the 1.4x larger
+    # candidate set costs more in decode/dedupe gathers than the full
+    # (R*S, cap) nonzero saves.
     slot = jnp.arange(cap, dtype=jnp.uint32)[None, :]
     enum_ok = (slot < width[:, None]) & ~overflow[:, None]   # (R*S, cap)
     total = enum_ok.sum(dtype=jnp.int32)
@@ -233,10 +238,10 @@ def _search_batch(
     ktp = jnp.where(pos_ok, tp, SENTINEL)
     hb = max((K - 1).bit_length() + 1, 10)          # table = 2x candidates
     h = (krow * U32(0x9E3779B1)) ^ (ktp * U32(0x85EBCA77))
-    slot = ((h * U32(0xC2B2AE3D)) >> U32(32 - hb)).astype(jnp.int32)
-    table = jnp.full((1 << hb,), K, jnp.int32).at[slot].min(
+    hslot = ((h * U32(0xC2B2AE3D)) >> U32(32 - hb)).astype(jnp.int32)
+    table = jnp.full((1 << hb,), K, jnp.int32).at[hslot].min(
         jnp.where(pos_ok, idxs, K))
-    widx = jnp.minimum(table[slot], K - 1)
+    widx = jnp.minimum(table[hslot], K - 1)
     dup = pos_ok & (widx != idxs) & (krow[widx] == krow) & (ktp[widx] == ktp)
     first = pos_ok & ~dup
     uniq = first.sum(dtype=jnp.int32)
@@ -361,7 +366,7 @@ class PendingSearch:
         # so start tight — every padding slot costs real work
         self.K = shapes.bucket(self.B * S * 5 // 4, min_size=1024)
         self.K2 = shapes.bucket(self.B * 2, min_size=1024)
-        self.K_max = 2 * self.B * S * cfg.occ_cap
+        self.K_max = self.K2_max = 2 * self.B * S * cfg.occ_cap
         # uniform-length batches take the cheap lane-reversal revcomp
         self.uniform = int(self.lens_h[0]) \
             if (self.lens_h == self.lens_h[0]).all() else 0
@@ -369,7 +374,7 @@ class PendingSearch:
         self._hits, self._total = _search_batch(
             idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
             self.seed_q, min(self.K, self.K_max), L=self.L,
-            K2=min(self.K2, self.K_max), uniform_len=self.uniform)
+            K2=min(self.K2, self.K2_max), uniform_len=self.uniform)
 
     def _strip_pad(self, h: HitArrays) -> HitArrays:
         """Drop hits of mesh-padding rows and remap oriented row ids
@@ -396,16 +401,16 @@ class PendingSearch:
         hits, K, K2 = self._hits, self.K, self.K2
         th = np.asarray(self._total)
         t, u = int(th[0]), int(th[1])
-        while ((t > min(K, self.K_max) or u > min(K2, self.K_max))
-               and (K < self.K_max or K2 < self.K_max)):
+        while ((t > min(K, self.K_max) or u > min(K2, self.K2_max))
+               and (K < self.K_max or K2 < self.K2_max)):
             if t > min(K, self.K_max):
                 K = min(shapes.bucket(t), self.K_max)
-            if u > min(K2, self.K_max):
-                K2 = min(shapes.bucket(u), self.K_max)
+            if u > min(K2, self.K2_max):
+                K2 = min(shapes.bucket(u), self.K2_max)
             hits, totals = _search_batch(
                 self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
                 self.steps, self.seed_q, min(K, self.K_max), L=self.L,
-                K2=min(K2, self.K_max), uniform_len=self.uniform)
+                K2=min(K2, self.K2_max), uniform_len=self.uniform)
             th = np.asarray(totals)
             t, u = int(th[0]), int(th[1])
         # unique placements are compaction-ordered (pads at the end), so

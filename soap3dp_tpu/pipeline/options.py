@@ -59,6 +59,13 @@ class AlignOptions:
     random_seed: int = 0                # random-best determinism
     batch_size: int = 1 << 16
     half_rescue_seeded: bool = False    # phase-B seeded mate rescue round
+    # DP seeding searches both exact halves of every seed — the
+    # pigeonhole equivalent of the reference's 1-mismatch seed kernel
+    # (single_1_mismatch_alignment2, alignment.cu:1839). Measured on
+    # 4%-substituted 100bp reads (tools/seed_sensitivity.py): candidate
+    # recall 0.99 vs 0.64 for exact full seeds, at ~12x the candidate
+    # volume (deep-DP subsets are small, so the DP cost is bounded).
+    dp_seed_1mm: bool = True
 
     @property
     def dp_enabled(self) -> bool:

@@ -747,7 +747,8 @@ def _half_seeded_round(index, didx, b1, b2, t1, t2, st1, st2, half,
     mlens[m2i] = lens2[sel[m2i]]
     mlens[m1i] = lens1[sel[m1i]]
 
-    sp, sl = dp_rescue.single_dp_seed_matrix(mlens, L)
+    sp, sl = dp_rescue.single_dp_seed_matrix(mlens, L,
+                                         halved=opts.dp_seed_1mm)
     cand = dp_rescue.seed_candidates(didx, mreads, mlens, sp, sl)
     if cand.read.size == 0:
         return np.zeros(0, int)
@@ -999,8 +1000,10 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     sl1 = lens1[deep]
     sl2 = lens2[deep]
     Bd = len(deep)
-    sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len, round2)
-    sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len, round2)
+    sp1, sl1s = dp_rescue.deep_dp_seed_matrix(sl1, max_len, round2,
+                                          halved=opts.dp_seed_1mm)
+    sp2, sl2s = dp_rescue.deep_dp_seed_matrix(sl2, max_len, round2,
+                                          halved=opts.dp_seed_1mm)
     # one seeding batch over both ends (fewer dispatches/transfers)
     call = dp_rescue.seed_candidates(
         didx, np.concatenate([sub1, sub2]), np.concatenate([sl1, sl2]),
@@ -1190,7 +1193,8 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
 def _salvage_reads(index, didx, reads, sl, opts, sc) -> dict[int, EndInfo]:
     """Single-end DP salvage over a read matrix; keys = row indices."""
     max_len = int(reads.shape[1])  # static
-    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(sl, max_len)
+    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(
+        sl, max_len, halved=opts.dp_seed_1mm)
     cand = dp_rescue.seed_candidates(didx, reads, sl, seed_pos, seed_len)
     if cand.read.size == 0:
         return {}

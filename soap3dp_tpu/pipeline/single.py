@@ -61,6 +61,7 @@ def align_single_batch(
     batch: ReadBatch,
     opts: AlignOptions,
     writer: SamWriter,
+    salvage_queue: "SalvageQueue | None" = None,
 ) -> BatchSummary:
     B = len(batch)
     summary = BatchSummary(num_reads=B)
@@ -110,20 +111,79 @@ def align_single_batch(
     if opts.dp_for_too_many_hits:
         no_hit |= table.flagged
     rescue = np.flatnonzero(no_hit & ~emitted) if opts.dp_enabled else np.zeros(0, int)
-    if rescue.size:
+    if rescue.size and salvage_queue is not None:
+        # deferred: failures from several batches flush as one large
+        # salvage batch (same pattern as pair.RescueQueue)
+        salvage_queue.add(batch, rescue)
+        emitted[rescue] = True
+    elif rescue.size:
         n = _dp_salvage(index, didx, batch, rescue, opts, writer)
         summary.aligned_dp += len(n)
         summary.num_records += len(n)
         emitted[n] = True
 
     for b in np.flatnonzero(~emitted):
-        writer.write(SamRecord(
-            qname=batch.names[b], flag=sam.FLAG_UNMAPPED, chrom=-1, pos=-1,
-            mapq=0, cigar="", seq=_seq_bytes(batch, b, writer),
-            qual=_qual_bytes(batch, b, writer)))
+        _emit_unmapped_single(writer, batch, b)
         summary.unaligned += 1
         summary.num_records += 1
     return summary
+
+
+def _emit_unmapped_single(writer, batch, b) -> None:
+    writer.write(SamRecord(
+        qname=batch.names[b], flag=sam.FLAG_UNMAPPED, chrom=-1, pos=-1,
+        mapq=0, cigar="", seq=_seq_bytes(batch, b, writer),
+        qual=_qual_bytes(batch, b, writer)))
+
+
+class SalvageQueue:
+    """Cross-batch accumulator for single-end DP salvage (the SE analog
+    of pair.RescueQueue): per-batch salvage sets are tiny, so running
+    the seeding + DP engines on them pays fixed dispatch/transfer
+    latency; queued failures flush as one large batch."""
+
+    def __init__(self, index, didx, opts: AlignOptions,
+                 flush_reads: int = 16384):
+        self.index = index
+        self.didx = didx
+        self.opts = opts
+        self.flush_reads = flush_reads
+        self._items: list[ReadBatch] = []
+        self._pending = 0
+
+    def add(self, batch: ReadBatch, ids: np.ndarray) -> None:
+        self._items.append(ReadBatch(
+            names=[batch.names[i] for i in ids], codes=batch.codes[ids],
+            lens=batch.lens[ids],
+            quals=None if batch.quals is None else batch.quals[ids]))
+        self._pending += len(ids)
+
+    @property
+    def pending(self) -> int:
+        return self._pending
+
+    def should_flush(self) -> bool:
+        return self._pending >= self.flush_reads
+
+    def flush(self, writer) -> BatchSummary:
+        from soap3dp_tpu.pipeline.pair import _concat_batches
+
+        summary = BatchSummary()
+        if not self._items:
+            return summary
+        items, self._items, self._pending = self._items, [], 0
+        cb = _concat_batches(items)
+        n = _dp_salvage(self.index, self.didx, cb,
+                        np.arange(len(cb)), self.opts, writer)
+        summary.aligned_dp += len(n)
+        summary.num_records += len(n)
+        emitted = np.zeros(len(cb), bool)
+        emitted[n] = True
+        for b in np.flatnonzero(~emitted):
+            _emit_unmapped_single(writer, cb, b)
+            summary.unaligned += 1
+            summary.num_records += 1
+        return summary
 
 
 def _emit_gapless_batch(index, writer, batch, table, selected, stats,
@@ -219,7 +279,8 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
     # static per run: seed geometry and window buckets derive from the
     # batch width, not the data, to avoid per-batch recompiles
     max_len = int(batch.codes.shape[1])
-    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(lens, max_len)
+    seed_pos, seed_len = dp_rescue.single_dp_seed_matrix(
+        lens, max_len, halved=opts.dp_seed_1mm)
     cand = dp_rescue.seed_candidates(didx, reads, lens, seed_pos, seed_len)
     if cand.read.size == 0:
         return np.zeros(0, int)

@@ -422,3 +422,42 @@ def test_rescue_queue_matches_inline():
                       for r in w.records)
 
     assert keyset(w_in) == keyset(w_q)
+
+
+def test_salvage_queue_matches_inline(small_index, small_device_index,
+                                      small_genome, rng):
+    """Single-end deferred salvage must match the inline path."""
+    from soap3dp_tpu.pipeline.single import SalvageQueue, align_single_batch
+
+    codes = small_genome.codes
+    L = 40
+    seqs = []
+    for i in range(24):
+        p = int(rng.integers(0, len(codes) - L))
+        s = codes[p:p + L].copy()
+        if i % 3 == 1:   # indel -> BWT fails, DP salvage succeeds
+            s = np.concatenate([s[:15], s[18:], rng.integers(0, 4, 3)
+                                .astype(np.uint8)])[:L]
+        elif i % 3 == 2:  # garbage -> unmapped
+            s = rng.integers(0, 4, L).astype(np.uint8)
+        seqs.append(s)
+    b = make_batch(seqs, max_len=L)
+    opts = AlignOptions()
+
+    import io as _io
+    w1 = SamWriter(_io.BytesIO(), small_index)
+    s1 = align_single_batch(small_index, small_device_index, b, opts, w1)
+
+    w2 = SamWriter(_io.BytesIO(), small_index)
+    sq = SalvageQueue(small_index, small_device_index, opts)
+    s2 = align_single_batch(small_index, small_device_index, b, opts, w2,
+                            salvage_queue=sq)
+    s2.add(sq.flush(w2))
+
+    assert (s1.aligned_bwt, s1.aligned_dp, s1.unaligned, s1.num_records) == \
+           (s2.aligned_bwt, s2.aligned_dp, s2.unaligned, s2.num_records)
+    r1 = sorted(l for l in w1._fh.getvalue().decode().splitlines()
+                if not l.startswith("@"))
+    r2 = sorted(l for l in w2._fh.getvalue().decode().splitlines()
+                if not l.startswith("@"))
+    assert r1 == r2
