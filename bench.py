@@ -115,7 +115,9 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
           file=sys.stderr)
 
     rng = np.random.default_rng(11)
-    opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2)
+    opts = AlignOptions(min_insert=INSERT // 2, max_insert=INSERT * 2,
+                        half_rescue_seeded=bool(
+                            os.environ.get("BENCH_HALF_SEEDED")))
     out = writer_factory(index)
 
     # warmup (jit compile) mirroring the timed loop EXACTLY — same batch
