@@ -840,7 +840,9 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
 
     P, Lr = reads.shape
     Lw = wins.shape[1]
-    Lr1 = 128
+    # state lanes: one per read position + boundary, padded to the lane
+    # quantum; long reads (<=255bp) get 256-lane state vectors
+    Lr1 = 128 if Lr + 1 <= 128 else 256
     ND = Lr + Lw
     reads_pad = jnp.concatenate(
         [jnp.zeros((P, 1), jnp.int32), reads.astype(jnp.int32),
@@ -877,10 +879,10 @@ def _gather_runs_u16(runs: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(runs, idx, axis=0).astype(jnp.uint16)
 
 
-def _fused_tile(ND: int) -> int | None:
+def _fused_tile(ND: int, lr1: int = 128) -> int | None:
     """Problem-tile size whose dirs scratch fits the VMEM budget."""
     for pt in (PALLAS_P_TILE, 32):
-        if ND * pt * 128 <= _VMEM_BUDGET:
+        if ND * pt * lr1 <= _VMEM_BUDGET:
             return pt
     return None
 
@@ -906,10 +908,10 @@ def dp_align(
     P, Lr = reads.shape
     Lw = wins.shape[1]
     ND = Lr + Lw
-    pt = _fused_tile(ND)
+    pt = _fused_tile(ND, 128 if Lr + 1 <= 128 else 256)
     mr = max(MAX_RUNS, _max_runs_bound(Lr))
     n_sh = mesh.devices.size if mesh is not None else 1
-    if (Lr + 1 <= 128 and pt is not None and P % (pt * n_sh) == 0
+    if (Lr + 1 <= 256 and pt is not None and P % (pt * n_sh) == 0
             and Lw < 4096   # run counts must fit the 12-bit packing
             and jax.default_backend() == "tpu"
             and not os.environ.get("SOAP3DP_NO_PALLAS")):

@@ -213,3 +213,54 @@ def test_pallas_forward_matches_scan():
     # pallas dirs are padded to 128 lanes; the real lanes must agree
     assert np.array_equal(np.asarray(ref[4]),
                           np.asarray(got[4])[:, :, : Lr + 1]), "dirs"
+
+
+def test_fused_align_long_reads_matches_scan():
+    """Fused kernel with 256-lane state (reads up to 255bp) must match
+    the scan path (VMEM budget permitting, long reads no longer fall
+    off the Pallas path)."""
+    from soap3dp_tpu.kernels import banded_dp as bd
+
+    rng = np.random.default_rng(17)
+    P, Lr, Lw = 64, 200, 300
+    wins = rng.integers(0, 4, (P, Lw)).astype(np.uint8)
+    reads = np.zeros((P, Lr), np.uint8)
+    rlens = rng.integers(150, Lr + 1, P).astype(np.int32)
+    for p in range(P):
+        reads[p, :rlens[p]] = wins[p, 20:20 + rlens[p]]
+    reads[0, 60] = (reads[0, 60] + 1) % 4
+    reads[1, 30:180] = np.roll(reads[1, 30:180], 2)  # indel-ish
+    args = [jnp.asarray(x) for x in (
+        reads, rlens, wins, np.full(P, Lw, np.int32),
+        rng.integers(0, 20, P).astype(np.int32),
+        rng.integers(0, 20, P).astype(np.int32),
+        np.full(P, Lw + 1, np.int32), np.zeros(P, np.int32))]
+    cutoff = np.full(P, 45, np.int32)  # 0.3 * min read length
+
+    bS, bI, bJ, bC, dirs = bd._dp_forward_scan(*args, sc=SC)
+    sS = np.asarray(bS)
+    active = sS >= cutoff
+    r_ops, r_cnts, r_nrun, r_startj = bd.dp_traceback(
+        dirs, args[0], args[1], args[2], bI, bJ, args[4],
+        jnp.asarray(active))
+
+    mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
+    pt = bd._fused_tile(Lr + Lw, 256)
+    assert pt is not None
+    stats, runs = bd._dp_align_pallas_call(
+        *args, jnp.asarray(cutoff), SC, pt=pt, mr=mr, interpret=True)
+    stats, runs = np.asarray(stats), np.asarray(runs)
+    assert np.array_equal(stats[:, 0], sS)
+    assert not stats[:, 6].any()
+    checked = 0
+    for p in range(P):
+        if not active[p]:
+            continue
+        want = [(int(r_ops[p, r]), int(r_cnts[p, r]))
+                for r in range(int(r_nrun[p])) if r_cnts[p, r] > 0]
+        got = [(int(runs[p, r]) >> 12, int(runs[p, r]) & 0xFFF)
+               for r in range(int(stats[p, 5])) if runs[p, r] & 0xFFF]
+        assert got == want, p
+        assert stats[p, 4] == r_startj[p], p
+        checked += 1
+    assert checked > P // 2
