@@ -92,6 +92,7 @@ def run_single(args) -> int:
         sq = SalvageQueue(index, didx, opts)
         for batch in prefetch(read_single(args.reads, opts.batch_size,
                                           opts.max_read_len)):
+            w.poll()  # stop aligning as soon as output is failing
             t0 = time.time()
             _fix_quals(opts, batch)
             s = align_single_batch(index, didx, batch, opts, w,
@@ -135,6 +136,7 @@ def run_pair(args) -> int:
             _fix_quals(opts, *cur)
         pending = dispatch_pair_search(didx, *cur, opts) if cur else None
         while cur is not None:
+            w.poll()  # stop aligning as soon as output is failing
             b1, b2 = cur
             nxt = next(it, None)
             if nxt:
@@ -190,5 +192,16 @@ def run_multi(cmd: str, args) -> int:
 
 def _summary(opts, total) -> None:
     print(f"[soap3dp] done: {total}", file=sys.stderr)
+    flagged = getattr(total, "still_flagged", 0)
+    capped = getattr(total, "capped_anchors", 0)
+    if flagged or capped:
+        # the reference re-aligns such reads fully on the host
+        # (ProcessReadDoubleStrand2, CPUfunctions.cpp:555); here
+        # truncation past round 3 is bounded but must not be silent
+        print(f"[soap3dp] warning: incomplete hit sets — "
+              f"{flagged} read(s) still over the round-3 placement budget"
+              + (f", {capped} anchor(s) hit the pairing fan-out cap"
+                 if capped else ""),
+              file=sys.stderr)
     with open(opts.output_prefix + ".done", "w") as fh:
         fh.write("done\n")

@@ -69,11 +69,20 @@ class AsyncWriter:
             item = self._q.get()
             if item is _SENTINEL:
                 return
+            if self._err:
+                continue  # drain + discard after first failure
             name, args, kw = item
             try:
                 getattr(self.inner, name)(*args, **kw)
             except BaseException as e:
                 self._err.append(e)
+
+    def poll(self) -> None:
+        """Raise the worker's first failure now (e.g. ENOSPC) instead of
+        at the next enqueue/close — callers check this once per batch so
+        alignment work stops as soon as output is failing."""
+        if self._err:
+            raise self._err[0]
 
     def _put(self, name, args, kw):
         if self._err:

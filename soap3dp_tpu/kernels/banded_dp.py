@@ -945,8 +945,39 @@ def dp_align(
             sub = sub[: len(pass_idx)].astype(np.int32)
             ops[pass_idx] = sub >> 12
             cnts[pass_idx] = sub & 0xFFF
+        overflow = st[:, 6].astype(bool)
+        redo = overflow & (score >= np.asarray(cutoff))
+        if redo.any():
+            # fused-kernel run budget exceeded (possible only for
+            # cutoffs below the 0.3*L bound the budget is proven for):
+            # re-run those lanes through the scan forward + host-RLE
+            # fallback instead of dropping valid alignments
+            from soap3dp_tpu.utils import shapes
+            sel = np.flatnonzero(redo)
+            nb = min(shapes.bucket(len(sel), min_size=64), P)
+            sel_pad = np.pad(sel, (0, nb - len(sel))) if len(sel) < nb \
+                else sel[:nb]
+            g = jnp.asarray(sel_pad)
+            ga = [jnp.asarray(a)[g] for a in
+                  (reads, rlens, wins, wlens, clip_l, clip_r,
+                   anchor_l, anchor_r)]
+            _, bI, bJ, _, dirs = _dp_forward_scan(*ga, sc=sc)
+            act = np.zeros(nb, bool)
+            act[: len(sel)] = True
+            o2, c2, n2, sj2 = dp_traceback(dirs, ga[0], ga[1], ga[2],
+                                           bI, bJ, ga[4], jnp.asarray(act))
+            if o2.shape[1] > ops.shape[1]:
+                wide = o2.shape[1] - ops.shape[1]
+                ops = np.pad(ops, ((0, 0), (0, wide)))
+                cnts = np.pad(cnts, ((0, 0), (0, wide)))
+            nrun, startj = nrun.copy(), startj.copy()
+            ops[sel, : o2.shape[1]] = o2[: len(sel)]
+            cnts[sel, : c2.shape[1]] = c2[: len(sel)]
+            nrun[sel] = n2[: len(sel)]
+            startj[sel] = sj2[: len(sel)]
+            overflow = overflow & ~redo
         return (score, st[:, 1], st[:, 2], st[:, 3],
-                ops, cnts, nrun, startj, st[:, 6].astype(bool))
+                ops, cnts, nrun, startj, overflow)
     # fallback: scan forward + scan traceback + host RLE (with a mesh,
     # the scan is used directly — XLA partitions it over the sharded
     # problem axis; the unwrapped Pallas forward kernel cannot shard)

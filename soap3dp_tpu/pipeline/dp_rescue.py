@@ -383,9 +383,9 @@ def run_banded_dp(
             dev(cutoff32), sc=sc, mesh=mesh)
     passed = score >= cutoff
     if overflow.any():
-        import sys
-        print(f"[soap3dp] warning: {int(overflow.sum())} DP traceback(s) "
-              "exceeded the run budget and were dropped", file=sys.stderr)
+        # lanes over the fused run budget with score >= cutoff are
+        # re-run via the scan fallback inside dp_align; anything still
+        # flagged here failed the cutoff anyway (belt and braces)
         passed &= ~overflow
     if index_host is not None:
         # drop alignments whose reference span [pos, pos+span) crosses a

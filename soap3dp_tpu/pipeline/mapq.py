@@ -151,9 +151,14 @@ def dp_single(max_dp_score, avg_mis_qual, x0, x1_t1, x1_t2,
     x0 = np.asarray(x0)
     x1 = np.asarray(x1_t1) + np.asarray(x1_t2)
     best = np.asarray(best, dtype=np.float32)
+    # guard: when 0.7*best <= dp_thres the ratio's denominator is <= 0
+    # (best barely clears the threshold); any suboptimal hit then means
+    # minimal confidence (r1 = 0) rather than a divide-by-zero/negative
+    denom = 0.7 * best - dp_thres
+    safe = np.where(denom > 0, denom, 1.0)
+    ratio = np.clip(1.0 - (np.asarray(second_best) - dp_thres) / safe, 0.0, 1.0)
     r1 = np.where(np.asarray(x1_t2) > 0,
-                  1.0 - (np.asarray(second_best) - dp_thres)
-                  / (0.7 * best - dp_thres),
+                  np.where(denom > 0, ratio, 0.0),
                   1.0)
     r2 = PENALTY_RATIO_X1[np.minimum(x1, 100)]
     r3 = (best - dp_thres) / (np.asarray(max_dp_score) - dp_thres)

@@ -33,6 +33,9 @@ class BatchSummary:
     aligned_dp: int = 0
     unaligned: int = 0
     num_records: int = 0
+    # reads whose hit set is still truncated after round-3 escalation
+    # (surfaced per run; see pair.PairSummary.still_flagged)
+    still_flagged: int = 0
 
     def add(self, other: "BatchSummary") -> None:
         for f in dataclasses.fields(self):
@@ -76,6 +79,7 @@ def align_single_batch(
     else:
         raw = search_reads(didx, batch.codes, lens, SearchConfig(k=k))
         table = hits.hits_to_table(raw, B, index, lens)
+        summary.still_flagged += int(np.asarray(table.flagged).sum())
     stats = hits.read_stats(table, B)
     selected, primary = hits.select_output(
         table, stats, B, opts.output_mode, opts.max_output_per_read,
