@@ -63,7 +63,7 @@ def get_index(genome_bp: int, sa_rate: int, lut_k: int):
     if os.path.exists(codes_path):
         codes = np.load(codes_path)
     else:
-        codes = rng.integers(0, 4, genome_bp).astype(np.uint8)
+        codes = rng.integers(0, 4, genome_bp, dtype=np.uint8)
         np.save(codes_path, codes)
     genome = PackedGenome(
         codes=codes, pac=dna.pack_codes(codes), length=genome_bp,

@@ -11,10 +11,19 @@
 // usual virtual-sentinel convention (suffix end-of-string < any char),
 // writing n entries to sa. Returns 0 on success.
 //
-// Template on the index type: int32 recursion levels for n < 2^31
-// (covers every genome the 4Gbp format limit allows at the top level
-// only via int64; recursion strings shrink, so deeper levels switch to
-// int32 automatically when they fit).
+// Memory plan (matters at 3.1 Gbp where the top level runs the int64
+// template): beyond the caller's n*8B SA buffer the top level keeps
+//   ls        n bytes        (L/S types)
+//   lms       nlms * 8B      (exact-size allocation, nlms <= n/2)
+//   name      ceil(n/2)*8B   (LMS positions are >= 2 apart, so names
+//                             are stored at index j/2 — half an array;
+//                             freed before recursing)
+//   red/sa1   nlms * 4 or 8B (int32 when the reduced problem fits,
+//                             which it always does for n <= 4 Gbp since
+//                             nlms <= n/2 < 2^31)
+// so the 3.1 Gbp human build peaks well under 60 GB including the SA
+// buffer, instead of the >100 GB a naive full-size-name int64-all-the-
+// way-down implementation would need.
 
 #include <cstdint>
 #include <cstring>
@@ -48,12 +57,11 @@ struct Sais {
       for (I c = 0; c < K; ++c) { s += cnt[(size_t)c]; tail[(size_t)c] = s; }
     };
 
-    auto induce = [&](const std::vector<I>& lms, bool final_pass) {
-      (void)final_pass;
+    auto induce = [&](const I* lms, size_t nlms) {
       for (I i = 0; i < n; ++i) SA[i] = (I)-1;
       // place LMS suffixes at bucket tails, in the given order reversed
       reset_tails();
-      for (size_t k = lms.size(); k-- > 0;) {
+      for (size_t k = nlms; k-- > 0;) {
         I j = lms[k];
         SA[--tail[(size_t)T[j]]] = j;
       }
@@ -75,28 +83,36 @@ struct Sais {
       }
     };
 
-    // collect LMS positions in text order
-    std::vector<I> lms;
+    // collect LMS positions in text order (count first: exact-size alloc,
+    // no push_back growth spikes at multi-GB scale)
+    size_t nlms_sz = 0;
     for (I i = 1; i < n; ++i)
-      if (is_lms(i)) lms.push_back(i);
-    I nlms = (I)lms.size();
+      if (is_lms(i)) ++nlms_sz;
+    std::vector<I> lms(nlms_sz);
+    {
+      size_t k = 0;
+      for (I i = 1; i < n; ++i)
+        if (is_lms(i)) lms[k++] = i;
+    }
+    I nlms = (I)nlms_sz;
     if (nlms == 0) {
       // strictly decreasing text: SA is reverse identity by induction
-      induce(lms, true);
+      induce(lms.data(), 0);
       return 0;
     }
 
-    induce(lms, false);
+    induce(lms.data(), nlms_sz);
 
-    // name LMS substrings in SA order
-    std::vector<I> name((size_t)n, (I)-1);
+    // name LMS substrings in SA order; two consecutive LMS positions
+    // differ by >= 2, so names live at index j/2 (half-size array)
+    std::vector<I> name((size_t)(n / 2 + 1), (I)-1);
     I names = 0;
     I prev = -1;
     for (I i = 0; i < n; ++i) {
       I j = SA[i];
       if (j <= 0 || !is_lms(j)) continue;
       if (prev < 0) {
-        name[(size_t)j] = names++;
+        name[(size_t)(j / 2)] = names++;
       } else {
         // compare LMS substrings at prev and j
         bool same = true;
@@ -108,27 +124,51 @@ struct Sais {
           if (d > 0 && (is_lms(a) || is_lms(b))) { same = is_lms(a) && is_lms(b); break; }
         }
         if (!same) ++names;
-        name[(size_t)j] = names - 1;
+        name[(size_t)(j / 2)] = names - 1;
       }
       prev = j;
     }
 
-    // reduced problem: names of LMS substrings in text order
-    std::vector<I> red((size_t)nlms);
-    for (I k = 0; k < nlms; ++k) red[(size_t)k] = name[(size_t)lms[(size_t)k]];
-
+    // reduced problem: names of LMS substrings in text order. nlms <= n/2,
+    // so for any text within the 4 Gbp format limit the reduced problem
+    // fits int32 — recurse narrow to halve the recursion tree's memory.
+    bool narrow = sizeof(I) > 4 && (int64_t)nlms < ((int64_t)1 << 31)
+                  && (int64_t)names < ((int64_t)1 << 31);
     std::vector<I> sa1((size_t)nlms);
-    if (names < nlms) {
-      int rc = run<I>(red.data(), nlms, names, sa1.data());
-      if (rc) return rc;
+    if (narrow) {
+      std::vector<int32_t> red32((size_t)nlms);
+      for (I k = 0; k < nlms; ++k)
+        red32[(size_t)k] = (int32_t)name[(size_t)(lms[(size_t)k] / 2)];
+      std::vector<I>().swap(name);  // free before recursing
+      if ((int64_t)names < (int64_t)nlms) {
+        std::vector<int32_t> sa32((size_t)nlms);
+        int rc = Sais<int32_t>::run(red32.data(), (int32_t)nlms,
+                                    (int32_t)names, sa32.data());
+        if (rc) return rc;
+        for (I k = 0; k < nlms; ++k) sa1[(size_t)k] = (I)sa32[(size_t)k];
+      } else {
+        for (I k = 0; k < nlms; ++k) sa1[(size_t)red32[(size_t)k]] = k;
+      }
     } else {
-      for (I k = 0; k < nlms; ++k) sa1[(size_t)red[(size_t)k]] = k;
+      std::vector<I> red((size_t)nlms);
+      for (I k = 0; k < nlms; ++k)
+        red[(size_t)k] = name[(size_t)(lms[(size_t)k] / 2)];
+      std::vector<I>().swap(name);
+      if (names < nlms) {
+        int rc = run<I>(red.data(), nlms, names, sa1.data());
+        if (rc) return rc;
+      } else {
+        for (I k = 0; k < nlms; ++k) sa1[(size_t)red[(size_t)k]] = k;
+      }
     }
 
-    // final induce with LMS suffixes in sorted order
+    // final induce with LMS suffixes in sorted order (reuse sa1's storage
+    // pattern: overwrite sa1 in place via a temp swap through lms order)
     std::vector<I> sorted_lms((size_t)nlms);
     for (I k = 0; k < nlms; ++k) sorted_lms[(size_t)k] = lms[(size_t)sa1[(size_t)k]];
-    induce(sorted_lms, true);
+    std::vector<I>().swap(sa1);
+    std::vector<I>().swap(lms);
+    induce(sorted_lms.data(), nlms_sz);
     return 0;
   }
 };
@@ -146,6 +186,13 @@ int sais_u8(const uint8_t* t, int64_t n, int64_t* sa) {
     for (int64_t i = 0; i < n; ++i) sa[i] = sa32[(size_t)i];
     return 0;
   }
+  return Sais<int64_t>::run(t, n, (int64_t)256, sa);
+}
+
+// Test hook: force the int64 template regardless of n, so the code path
+// taken by >2^31 texts (human-scale builds) is exercised by small tests.
+int sais_u8_force64(const uint8_t* t, int64_t n, int64_t* sa) {
+  if (n < 0) return 1;
   return Sais<int64_t>::run(t, n, (int64_t)256, sa);
 }
 

@@ -78,9 +78,22 @@ def build_index(
     lut_k: int | None = None,
 ) -> Index:
     """Build the full index from a packed genome."""
+    import sys
+    import time
+
+    verbose = bool(os.environ.get("SOAP3DP_BUILD_VERBOSE")) or genome.length > 500_000_000
+    t0 = time.time()
+
+    def _log(stage: str) -> None:
+        if verbose:
+            print(f"[build +{time.time() - t0:6.0f}s] {stage}",
+                  file=sys.stderr, flush=True)
+
     codes = genome.codes
     n = genome.length
+    _log(f"suffix array ({n / 1e6:.0f} Mbp)...")
     sa = suffix_array(codes)
+    _log("bwt from sa...")
     bwt, primary = bwt_from_sa(codes, sa)
 
     # C array over the 4-letter alphabet, with the sentinel counted as
@@ -91,11 +104,17 @@ def build_index(
     counts[1:] = (1 + np.cumsum(base_counts)).astype(np.uint32)
     # counts layout: counts[c] = C[c] for backward search; counts[4] = n+1.
 
+    _log("fmi blocks...")
     fmi = _build_fmi(bwt, n)
+    del bwt  # multi-GB at genome scale; not needed past the fmi build
+    _log("sa sampling...")
     mark, sa_samples = _build_sa_sampling(sa, n, sa_rate)
     if lut_k is None:
         lut_k = 13 if n >= 1_000_000 else max(2, min(8, int(np.log2(max(n, 16))) // 2))
+    _log(f"lut (k={lut_k})...")
     lut_lo, lut_hi = _build_lut(codes, sa, lut_k)
+    del sa
+    _log("done")
 
     pac = np.concatenate([genome.pac, np.zeros(PAC_PAD_WORDS, dtype=np.uint32)])
 
@@ -174,9 +193,12 @@ def _build_lut(codes: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, n
     # text + a bincount + cumsum — no suffix-array access at all.
     del sa  # unused: kept for signature stability
     mt = np.zeros(n, dtype=np.int32)
-    c32 = codes.astype(np.int32)
     for j in range(k):
-        mt[: n - j] += c32[j:] << (2 * (k - 1 - j))
+        # one transient int32 temp at a time (peak 2 passes of n*4B, not 3)
+        tmp = codes[j:].astype(np.int32)
+        np.left_shift(tmp, 2 * (k - 1 - j), out=tmp)
+        mt[: n - j] += tmp
+        del tmp
     size = 4 ** k
     valid = max(n - k + 1, 0)
     cnts = np.bincount(mt[:valid], minlength=size).astype(np.int64)

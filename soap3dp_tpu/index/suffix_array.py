@@ -76,4 +76,7 @@ def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     """
     primary = int(np.flatnonzero(sa == 0)[0])
     rows = np.concatenate([sa[:primary], sa[primary + 1:]])
-    return codes[(rows.astype(np.int64) - 1)], primary
+    # every remaining row is >= 1, so uint32 subtraction never wraps and
+    # the gather stays in 4-byte indices (halves the peak at 3.1 Gbp)
+    rows -= 1
+    return codes[rows], primary
