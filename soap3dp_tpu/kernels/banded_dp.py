@@ -221,6 +221,7 @@ def _dp_forward_scan(
 
 PALLAS_P_TILE = 64  # problems per grid step (u8 dirs tile wants >= 32 sublanes)
 MAX_RUNS = 128      # fused-kernel run budget; see _max_runs_bound()
+_warned_long_read_fallback = False
 _VMEM_BUDGET = 12 * 1024 * 1024  # dirs scratch budget (16MB VMEM - headroom)
 
 
@@ -981,6 +982,15 @@ def dp_align(
     # fallback: scan forward + scan traceback + host RLE (with a mesh,
     # the scan is used directly — XLA partitions it over the sharded
     # problem axis; the unwrapped Pallas forward kernel cannot shard)
+    global _warned_long_read_fallback
+    if (Lr + 1 > 256 and jax.default_backend() == "tpu"
+            and not _warned_long_read_fallback):
+        _warned_long_read_fallback = True
+        import sys
+        print("[soap3dp] notice: reads longer than 255 bp exceed the fused "
+              "DP kernel's lane budget; DP rescue uses the slower scan path "
+              "(the reference seeds long reads then DPs them, "
+              "alignment.cu:2475-2491)", file=sys.stderr)
     fwd = _dp_forward_scan if mesh is not None else dp_forward
     bS, bI, bJ, bC, dirs = fwd(
         reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r, sc=sc)

@@ -269,6 +269,68 @@ def test_long_reads_200bp(small_index, small_device_index, small_genome):
             assert r["cigar"] == f"{L}M"
 
 
+def test_long_reads_250bp_pair(small_index, small_device_index, small_genome):
+    """250bp paired-end: the fused DP kernel's lane-budget boundary
+    (256-lane state covers Lr <= 255) end-to-end through phases A-E."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(43)
+    L, insert = 250, 700
+    pos = rng2.integers(100, len(codes) - insert - 100, 4)
+    s1, s2 = [], []
+    for i, p in enumerate(pos):
+        left = codes[p:p + L].copy()
+        right = dna.revcomp_codes(codes[p + insert - L:p + insert])
+        left[30] = (left[30] + 1) % 4
+        if i == 3:  # 5bp deletion in the mate: half-aligned DP rescue
+            right = np.concatenate(
+                [right[:100], dna.revcomp_codes(
+                    codes[p + insert - L - 5:p + insert - 105])])[:L]
+        s1.append(left)
+        s2.append(right)
+    b1 = make_batch(s1, max_len=256)
+    b2 = make_batch(s2, max_len=256)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             max_read_len=256, min_insert=400,
+                             max_insert=1000)
+    assert summary.paired_bwt + summary.paired_dp == 4
+    byname = {}
+    for r in recs:
+        byname.setdefault(r["qname"], []).append(r)
+    for i, p in enumerate(pos):
+        rr = sorted(byname[f"r{i}"], key=lambda r: r["pos"])
+        assert len(rr) == 2
+        assert rr[0]["pos"] == p + 1, i
+        assert not (rr[0]["flag"] & 0x4) and not (rr[1]["flag"] & 0x4)
+
+
+def test_long_reads_300bp_scan_fallback(small_index, small_device_index,
+                                        small_genome):
+    """Reads past the 255bp fused-kernel cap still align end-to-end via
+    the scan DP path (VERDICT r2 item 8)."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(44)
+    L = 300
+    pos = rng2.integers(100, len(codes) - 400, 3)
+    seqs = []
+    for i, p in enumerate(pos):
+        s = codes[p:p + L].copy()
+        s[123] = (s[123] + 1) % 4
+        if i == 1:  # 6bp insertion: DP rescue
+            s = np.concatenate([s[:150], rng2.integers(0, 4, 6).astype(np.uint8),
+                                s[150:]])[:L]
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=L)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               max_read_len=L)
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos):
+        r = byname[f"r{i}"]
+        assert not r["flag"] & 0x4, i
+        assert r["pos"] == p + 1, i
+        if i == 1:
+            assert "I" in r["cigar"]
+
+
 def test_pair_half_rescue_seeded_round(small_index, small_device_index,
                                        small_genome, rng):
     """Optional phase-B seeded mate rescue (half_rescue_seeded=True)."""

@@ -55,7 +55,7 @@ def make_reads(rng, codes, B, L, k):
     return reads
 
 
-@pytest.mark.parametrize("k", [0, 1, 2, 3])
+@pytest.mark.parametrize("k", [0, 1, 2, 3, 4])
 def test_all_valid_matches_bruteforce(small_device_index, small_genome, rng, k):
     codes = small_genome.codes
     B, L = 24, 36
