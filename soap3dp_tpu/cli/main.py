@@ -40,6 +40,19 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                          "are sharded over the device mesh — the TPU analog "
                          "of the reference's one-process-per-GPU ShareIndex "
                          "recipe (README section 3)")
+    ap.add_argument("--hosts", type=int, default=None, dest="hosts",
+                    help="multi-host mode: total number of aligner "
+                         "processes (jax.distributed). Each process takes "
+                         "every Nth input batch and writes "
+                         "<prefix>.<host-id> outputs, merged like the "
+                         "reference's per-process .gout.N files "
+                         "(README section 3). Env fallbacks: "
+                         "SOAP3DP_NUM_HOSTS/SOAP3DP_HOST_ID/"
+                         "SOAP3DP_COORDINATOR")
+    ap.add_argument("--host-id", type=int, default=None, dest="host_id",
+                    help="this process's id in [0, hosts)")
+    ap.add_argument("--coordinator", default=None, dest="coordinator",
+                    help="jax.distributed coordinator address host:port")
     ap.add_argument("-I", action="store_true", dest="illumina13",
                     help="Illumina 1.3+ quality encoding")
     ap.add_argument("-A", dest="sample_name", default="default")
@@ -51,6 +64,8 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                     dest="mismatch_only",
                     help="mismatch-only mode (disables DP); optional max "
                          "mismatches 0-4")
+    ap.add_argument("--batch-size", type=int, default=None, dest="batch_size",
+                    help="reads per device batch (default 65536)")
     ap.add_argument("--ini", default=None, help="ini file (default: "
                     "soap3-dp.ini next to the executable if present)")
 
@@ -69,6 +84,8 @@ def _build_options(args, first_read_file: str):
     opts.read_group = args.read_group or first_read_file
     opts.rg_option = args.rg_option
     opts.output_prefix = args.output_prefix or first_read_file
+    if getattr(args, "batch_size", None) is not None:
+        opts.batch_size = args.batch_size
     if getattr(args, "min_insert", None) is not None:
         opts.min_insert = args.min_insert
     if getattr(args, "max_insert", None) is not None:

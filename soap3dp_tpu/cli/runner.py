@@ -13,7 +13,63 @@ import sys
 import time
 
 
-def _load(index_arg: str, devices: int = 1):
+def _init_hosts(args) -> tuple[int, int]:
+    """Multi-host mode: initialize jax.distributed from flags/env.
+
+    The analog of the reference's documented multi-GPU operation — one
+    process per device with the index shared between them (README
+    section 3, IndexHandler.cpp:180-226): one JAX process per host,
+    each reading its stride of the input batches and writing its own
+    output shard, merged like the reference's .gout.N files.
+    """
+    import os
+
+    hosts = getattr(args, "hosts", None)
+    if hosts is None:
+        hosts = int(os.environ.get("SOAP3DP_NUM_HOSTS", "1"))
+    if hosts <= 1:
+        return 1, 0
+    host_id = getattr(args, "host_id", None)
+    if host_id is None:
+        host_id = int(os.environ["SOAP3DP_HOST_ID"])
+    coord = getattr(args, "coordinator", None) \
+        or os.environ.get("SOAP3DP_COORDINATOR")
+    import jax
+
+    if coord:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=hosts, process_id=host_id)
+    else:
+        jax.distributed.initialize()  # env/cluster auto-detection
+    print(f"[soap3dp] multi-host: process {host_id}/{hosts}, "
+          f"{len(jax.local_devices())} local device(s)", file=sys.stderr)
+    return hosts, host_id
+
+
+def _stride(it, hosts: int, host_id: int):
+    """Each host takes every hosts-th input batch (its input shard)."""
+    for i, item in enumerate(it):
+        if i % hosts == host_id:
+            yield item
+
+
+def _merge_summary(total, hosts: int) -> None:
+    """Sum the per-host summary counters across processes and print the
+    global totals (the DCN-collective merge from docs/SCALING.md)."""
+    import dataclasses
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    fields = [f.name for f in dataclasses.fields(total)]
+    local = np.asarray([getattr(total, f) for f in fields], np.int64)
+    all_counts = multihost_utils.process_allgather(local)
+    merged = type(total)(**{f: int(v) for f, v in
+                            zip(fields, all_counts.sum(axis=0))})
+    print(f"[soap3dp] global (all {hosts} hosts): {merged}", file=sys.stderr)
+
+
+def _load(index_arg: str, devices: int = 1, local_only: bool = False):
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.index.builder import load_index
     from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
@@ -33,7 +89,7 @@ def _load(index_arg: str, devices: int = 1):
 
         from soap3dp_tpu.distributed import mesh as dmesh
 
-        avail = jax.devices()
+        avail = jax.local_devices() if local_only else jax.devices()
         n = len(avail) if devices == 0 else min(devices, len(avail))
         m = dmesh.make_mesh(avail[:n])
         didx = dmesh.replicate_index(index, m)
@@ -77,6 +133,10 @@ def _writer(opts, index, path):
 
 
 def run_single(args) -> int:
+    # distributed init must precede any import that touches the XLA
+    # backend (pipeline modules query it at import time)
+    hosts, host_id = _init_hosts(args)
+
     from soap3dp_tpu.cli.main import _build_options
     from soap3dp_tpu.io.fastq import read_single
     from soap3dp_tpu.pipeline.single import BatchSummary, align_single_batch
@@ -86,12 +146,16 @@ def run_single(args) -> int:
     from soap3dp_tpu.pipeline.single import SalvageQueue
 
     opts = _build_options(args, args.reads)
-    index, didx = _load(args.index, getattr(args, "devices", 1))
+    if hosts > 1:
+        opts.output_prefix += f".{host_id}"
+    index, didx = _load(args.index, getattr(args, "devices", 1),
+                        local_only=hosts > 1)
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         sq = SalvageQueue(index, didx, opts)
-        for batch in prefetch(read_single(args.reads, opts.batch_size,
-                                          opts.max_read_len)):
+        for batch in prefetch(_stride(read_single(args.reads, opts.batch_size,
+                                                  opts.max_read_len),
+                                      hosts, host_id)):
             w.poll()  # stop aligning as soon as output is failing
             t0 = time.time()
             _fix_quals(opts, batch)
@@ -105,10 +169,16 @@ def run_single(args) -> int:
                   file=sys.stderr)
         total.add(sq.flush(w))
     _summary(opts, total)
+    if hosts > 1:
+        _merge_summary(total, hosts)
     return 0
 
 
 def run_pair(args) -> int:
+    # distributed init must precede any import that touches the XLA
+    # backend (pipeline modules query it at import time)
+    hosts, host_id = _init_hosts(args)
+
     from soap3dp_tpu.cli.main import _build_options
     from soap3dp_tpu.io.fastq import read_pairs
     from soap3dp_tpu.pipeline.pair import PairSummary, align_pair_batch
@@ -118,7 +188,10 @@ def run_pair(args) -> int:
     from soap3dp_tpu.pipeline.pair import RescueQueue
 
     opts = _build_options(args, args.reads1)
-    index, didx = _load(args.index, getattr(args, "devices", 1))
+    if hosts > 1:
+        opts.output_prefix += f".{host_id}"
+    index, didx = _load(args.index, getattr(args, "devices", 1),
+                        local_only=hosts > 1)
     total = PairSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         # double-buffered batch loop: the next batch's device search runs
@@ -129,8 +202,9 @@ def run_pair(args) -> int:
         from soap3dp_tpu.io.aio import prefetch
 
         rq = RescueQueue(index, didx, opts)
-        it = prefetch(read_pairs(args.reads1, args.reads2,
-                                 opts.batch_size, opts.max_read_len))
+        it = prefetch(_stride(read_pairs(args.reads1, args.reads2,
+                                         opts.batch_size, opts.max_read_len),
+                              hosts, host_id))
         cur = next(it, None)
         if cur:
             _fix_quals(opts, *cur)
@@ -160,6 +234,8 @@ def run_pair(args) -> int:
                   f"{s.paired_bwt} BWT-paired ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
     _summary(opts, total)
+    if hosts > 1:
+        _merge_summary(total, hosts)
     return 0
 
 

@@ -21,6 +21,87 @@ def _free_port() -> int:
     return port
 
 
+def _sam_records(path):
+    with open(path) as fh:
+        return sorted(l for l in fh if not l.startswith("@"))
+
+
+def test_multihost_cli_matches_single_process(tmp_path):
+    """The real `soap3dp pair --hosts 2` CLI: two processes, each
+    aligning its stride of the input batches and writing its own
+    output shard; the merged records must equal a single-process run
+    (VERDICT r2 item 7; reference analog README.md section 3)."""
+    import numpy as np
+
+    from soap3dp_tpu.utils import dna
+
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, 30000).astype(np.uint8)
+    seq = dna.decode(codes).decode()
+    with open(tmp_path / "g.fa", "w") as f:
+        f.write(">chrA\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i:i + 60] + "\n")
+    from soap3dp_tpu.cli.builder import main as builder_main
+    assert builder_main([str(tmp_path / "g.fa")]) == 0
+
+    B, L, INS = 64, 80, 250
+    pos = rng.integers(0, 30000 - INS - 1, B)
+    with open(tmp_path / "p1.fq", "w") as f1, \
+            open(tmp_path / "p2.fq", "w") as f2:
+        for b in range(B):
+            left = codes[pos[b]:pos[b] + L].copy()
+            left[7] = (left[7] + 1) % 4
+            right = dna.revcomp_codes(codes[pos[b] + INS - L:pos[b] + INS])
+            f1.write(f"@p{b}\n{dna.decode(left).decode()}\n+\n{'I' * L}\n")
+            f2.write(f"@p{b}\n{dna.decode(right).decode()}\n+\n{'I' * L}\n")
+
+    # single-process baseline (in-process CLI; also warms the jit cache)
+    from soap3dp_tpu.cli.main import main as cli_main
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        rc = cli_main(["pair", "g.fa.index", "p1.fq", "p2.fq", "-o", "out_sp",
+                       "-v", "150", "-u", "600", "-s", "2",
+                       "--batch-size", "16"])
+    finally:
+        _os.chdir(cwd)
+    assert rc == 0
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multihost_cli_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost CLI workers timed out")
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and ("UNIMPLEMENTED" in out
+                                  or "not supported" in out.lower()):
+            pytest.skip(f"jax.distributed unsupported here: {out[-400:]}")
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert (tmp_path / f"out_mh.{pid}.sam").exists()
+        assert (tmp_path / f"out_mh.{pid}.done").exists()
+    assert "global (all 2 hosts)" in outs[0] + outs[1]
+
+    merged = (_sam_records(tmp_path / "out_mh.0.sam")
+              + _sam_records(tmp_path / "out_mh.1.sam"))
+    single = _sam_records(tmp_path / "out_sp.sam")
+    assert sorted(merged) == single
+
+
 def test_two_process_distributed_smoke():
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "multihost_worker.py")
