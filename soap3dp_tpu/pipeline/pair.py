@@ -914,12 +914,63 @@ def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,
     max_win = int(win_len.max())
     clip_l = np.where(mstrand == 1, opts.max_end_clip, opts.max_front_clip)
     clip_r = np.where(mstrand == 1, opts.max_front_clip, opts.max_end_clip)
-    res = dp_rescue.run_banded_dp(
-        didx, mreads, mlens, cand, win_start, win_len, max_win,
-        clip_l, clip_r,
-        np.full(len(pair), max_win + 1, np.int32),
-        np.zeros(len(pair), np.int32),
-        opts.dp_cutoff(mlens), sc, index_host=index)
+    cutoff = opts.dp_cutoff(mlens)
+
+    # gapless mate prescan (VERDICT r2 item 3): a window holding a
+    # 0-mismatch full-length placement scores the global max L*match —
+    # no mismatch/indel/clip placement can beat it and ties resolve to
+    # the same leftmost offset DP picks — so those candidates emit
+    # without DP; only the gapless-implausible rest pays the full
+    # insert-window DP (which the reference always runs,
+    # DV-DPfunctions.cu:2027-2109)
+    with timers.stage("BC.prescan"):
+        pmm, poff, pn0 = dp_rescue.gapless_prescan(
+            didx, mreads, mlens, cand, win_start, win_len, max_win)
+    direct = (pmm == 0) & (mlens.astype(np.int64) * sc.match >= cutoff)
+    if direct.any():
+        dpos = (win_start + poff).astype(np.uint64)
+        direct &= ~sam.crosses_boundary(index, dpos, mlens.astype(np.int64))
+    dp_idx = np.flatnonzero(~direct)
+    if dp_idx.size:
+        res = dp_rescue.run_banded_dp(
+            didx, mreads, mlens,
+            dp_rescue.Candidates(read=cand.read[dp_idx],
+                                 strand=mstrand[dp_idx],
+                                 pos=win_start[dp_idx]),
+            win_start[dp_idx], win_len[dp_idx],
+            int(win_len[dp_idx].max()),
+            clip_l[dp_idx], clip_r[dp_idx],
+            np.full(len(dp_idx), max_win + 1, np.int32),
+            np.zeros(len(dp_idx), np.int32),
+            cutoff[dp_idx], sc, index_host=index)
+    else:
+        z = np.zeros(0, np.int64)
+        res = dp_rescue.DPResult(
+            read=z.astype(np.int32), strand=z.astype(np.int8), pos=z,
+            score=z.astype(np.int32), ops=np.zeros((0, 1), np.int32),
+            cnts=np.zeros((0, 1), np.int32), nrun=np.zeros(0, np.int32),
+            win_start=z, n_best_cells=z.astype(np.int32), problem=z)
+    di = np.flatnonzero(direct)
+    if di.size:
+        from soap3dp_tpu.kernels.banded_dp import OP_MATCH
+        MR = max(res.ops.shape[1], 1)
+        ops_d = np.zeros((len(di), MR), np.int32)
+        cnts_d = np.zeros((len(di), MR), np.int32)
+        ops_d[:, 0] = OP_MATCH
+        cnts_d[:, 0] = mlens[di]
+        res = dp_rescue.DPResult(
+            read=np.concatenate([res.read, di.astype(np.int32)]),
+            strand=np.concatenate([res.strand, mstrand[di]]),
+            pos=np.concatenate([res.pos, win_start[di] + poff[di]]),
+            score=np.concatenate([res.score,
+                                  mlens[di].astype(res.score.dtype) * sc.match]),
+            ops=np.concatenate([res.ops, ops_d]),
+            cnts=np.concatenate([res.cnts, cnts_d]),
+            nrun=np.concatenate([res.nrun, np.ones(len(di), np.int32)]),
+            win_start=np.concatenate([res.win_start, win_start[di]]),
+            n_best_cells=np.concatenate([res.n_best_cells, pn0[di]]),
+            problem=np.concatenate([res.problem,
+                                    di.astype(res.problem.dtype)]))
     if res.read.size == 0:
         return np.zeros(0, int)
 
