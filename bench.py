@@ -11,7 +11,7 @@ this environment (zero egress), so the bench uses cached synthetic
 genomes and measures the full paired-end pipeline (search both ends +
 pairing + DP rescue + output) end-to-end.
 
-Three profiles per run:
+Profiles per run:
   main        40Mbp index, full SA + LUT-only seeding, succinct output
               (the headline metric; comparable with earlier rounds)
   chr1_scale  250Mbp index, sa_rate=4, lut_k=13 — the configuration
@@ -19,6 +19,11 @@ Three profiles per run:
               extension steps past the LUT and sampled-SA LF walks on
               the hot path (VERDICT r1 item 3)
   sam_out     40Mbp index with SAM text output (the default -b 2 path)
+  human_scale 3.1Gbp synthetic genome (human-size, README.md section
+              2.1), sa_rate=4, lut_k=13 — runs when the cached index
+              exists (build once with tools/build_human_scale.py; the
+              build is an hour-class host job) or BENCH_HUMAN=1
+              forces the build
 
 `value` is the steady-state median per-batch rate (the remote-TPU link
 adds sporadic multi-hundred-ms stalls); `elapsed_reads_per_s` is the
@@ -110,7 +115,7 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
 
     t0 = time.time()
     didx = device_index(index)
-    jax.block_until_ready(didx.fmi)
+    jax.block_until_ready(didx.occ)
     print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
 
@@ -219,6 +224,18 @@ def main() -> int:
         del index250, codes250
         profiles["sam_out"] = run_profile("sam_out", index40, codes40, samw,
                                           SCALE_PAIRS, BATCH)
+        # human-scale: 3.1 Gbp synthetic (one chip holds the whole index:
+        # fmi 1.16GB + SA(rate 4) 3.1GB + LUT 0.54GB + mark 0.48GB +
+        # pac 0.78GB ~= 6.1GB of 16GB HBM; docs/SCALING.md)
+        human_tag = f"synth{3_100_000_000}.sa4k13.t3i"
+        if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
+                or os.environ.get("BENCH_HUMAN")):
+            del index40, codes40
+            import gc
+            gc.collect()
+            indexh, codesh = get_index(3_100_000_000, sa_rate=4, lut_k=13)
+            profiles["human_scale"] = run_profile(
+                "human_scale", indexh, codesh, succ, SCALE_PAIRS, BATCH)
 
     main_rate = profiles["main"]["reads_per_s"]
     print(json.dumps({

@@ -45,7 +45,7 @@ def mesh_of(didx: DeviceIndex) -> Mesh | None:
     the one-switch analog of the reference's one-process-per-GPU +
     shared-index recipe (README.md section 3, IndexHandler.cpp:180-226).
     """
-    sh = getattr(didx.fmi, "sharding", None)
+    sh = getattr(didx.occ, "sharding", None)
     m = getattr(sh, "mesh", None)
     if m is None:
         return None

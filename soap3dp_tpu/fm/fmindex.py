@@ -11,12 +11,15 @@ Design notes (TPU-first):
 * Everything is batched over a leading axis; one "lane" = one search
   state. There is no per-lane control flow — loops run to static
   bounds with masked updates, so XLA sees fixed shapes only.
-* One Occ query = one gather of a 48-byte interleaved fmi row
-  (occ4 + 8 BWT words) + an in-register 2-bit popcount. The reference
-  needs two memory streams for the same query (occ table + BWT text).
+* One Occ query = TWO single-u32 element gathers (a cumulative count
+  from the flat ``occ`` table and one 16-base BWT word) plus an
+  in-register 2-bit popcount. XLA's TPU gather costs per element, not
+  per byte (~10ns/u32 vs ~175ns for a 48-byte row on v5e), so narrow
+  16bp blocks beat the reference's wide interleaved GPU rows
+  (GPU_OCC_INTERVAL 128) by ~7x on the search hot path.
 * SA decode uses a value-sampled SA, so the LF walk is a static
-  ``sa_rate``-iteration loop; every step costs one fmi-row gather and
-  one mark-row gather.
+  ``sa_rate``-iteration loop; every step is ~5 element gathers
+  (mark word + rank + sample + BWT word + occ count).
 * Positions/intervals are uint32 (4 Gbp limit, as the reference,
   README.md section 2.1).
 """
@@ -41,8 +44,10 @@ _LANES = jnp.uint32(0x5555_5555)  # one bit per 2-bit base slot
 class DeviceIndex:
     """HBM-resident index arrays. Host metadata stays on the Index."""
 
-    fmi: jax.Array         # (nb, 12) uint32
-    mark: jax.Array        # (nb, 5) uint32
+    occ: jax.Array         # (4 * nw,) uint32 flat: occ[4w+c]
+    bwt: jax.Array         # (nw,) uint32 packed BWT words
+    mark_rank: jax.Array   # (nmw,) uint32 exclusive rank per mark word
+    mark_words: jax.Array  # (nmw,) uint32 SA-sample bitvector
     sa_samples: jax.Array  # (num_samples,) uint32
     counts: jax.Array      # (5,) uint32
     pac: jax.Array         # (n_words + pad,) uint32
@@ -55,8 +60,9 @@ class DeviceIndex:
     lut_k: int = dataclasses.field(metadata={"static": True})
 
     def tree_flatten(self):
-        children = (self.fmi, self.mark, self.sa_samples, self.counts,
-                    self.pac, self.lut_lo, self.lut_hi, self.primary, self.n)
+        children = (self.occ, self.bwt, self.mark_rank, self.mark_words,
+                    self.sa_samples, self.counts, self.pac, self.lut_lo,
+                    self.lut_hi, self.primary, self.n)
         return children, (self.sa_rate, self.lut_k)
 
     @classmethod
@@ -71,8 +77,10 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
     """
     put = partial(jax.device_put, device=sharding) if sharding is not None else jnp.asarray
     return DeviceIndex(
-        fmi=put(np.asarray(index.fmi)),
-        mark=put(np.asarray(index.mark)),
+        occ=put(np.asarray(index.occ)),
+        bwt=put(np.asarray(index.bwt)),
+        mark_rank=put(np.asarray(index.mark_rank)),
+        mark_words=put(np.asarray(index.mark_words)),
         sa_samples=put(np.asarray(index.sa_samples)),
         counts=put(np.asarray(index.counts)),
         pac=put(np.asarray(index.pac)),
@@ -89,22 +97,16 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
 # Occ queries
 # ------------------------------------------------------------------
 
-def _fmi_row(fmi: jax.Array, kp: jax.Array) -> jax.Array:
-    """Gather the interleaved block row for packed-BWT position kp."""
-    b = (kp >> 7).astype(jnp.int32)
-    return fmi[b]  # (..., 12)
+def _match_bits(word: jax.Array, c: jax.Array) -> jax.Array:
+    """One bit per 2-bit base slot of `word` that equals base c."""
+    x = word ^ (c.astype(U32) * _LANES)
+    return (~(x | (x >> 1))) & _LANES
 
 
-def _count_in_row(row: jax.Array, c: jax.Array, q: jax.Array) -> jax.Array:
-    """#occurrences of base c in the first q (0..127) bases of a block row."""
-    words = row[..., 4:12]                                  # (..., 8) uint32
-    pattern = (c.astype(U32) * _LANES)[..., None]
-    x = words ^ pattern
-    match = (~(x | (x >> 1))) & _LANES                      # bit set where base == c
-    j16 = jnp.arange(8, dtype=jnp.int32) * 16
-    m = jnp.clip(q[..., None].astype(jnp.int32) - j16, 0, 16)
-    lane_mask = jnp.where(m == 0, U32(0), _LANES >> (2 * (16 - m)).astype(U32))
-    return jax.lax.population_count(match & lane_mask).sum(axis=-1).astype(U32)
+def _count_in_word(word: jax.Array, c: jax.Array, q: jax.Array) -> jax.Array:
+    """#occurrences of base c in the first q (0..15) bases of a BWT word."""
+    qm = jnp.where(q == 0, U32(0), _LANES >> (2 * (16 - q)).astype(U32))
+    return jax.lax.population_count(_match_bits(word, c) & qm).astype(U32)
 
 
 def occ(idx: DeviceIndex, c: jax.Array, k: jax.Array) -> jax.Array:
@@ -112,11 +114,13 @@ def occ(idx: DeviceIndex, c: jax.Array, k: jax.Array) -> jax.Array:
 
     k in [0, n+1); the sentinel row (primary) is skipped via the index
     adjustment, as in the reference (2bwt-lib/BWT.c BWTOccValue).
+    Two u32 element gathers + an in-register popcount.
     """
     kp = k - (k > idx.primary).astype(U32)
-    row = _fmi_row(idx.fmi, kp)
-    base = jnp.take_along_axis(row[..., :4], c.astype(jnp.int32)[..., None], axis=-1)[..., 0]
-    return base + _count_in_row(row, c, kp & U32(127))
+    w = (kp >> 4).astype(jnp.int32)
+    word = jnp.take(idx.bwt, w)
+    base = jnp.take(idx.occ, w * 4 + c.astype(jnp.int32))
+    return base + _count_in_word(word, c, kp & U32(15))
 
 
 def backward_extend(idx: DeviceIndex, l: jax.Array, r: jax.Array, c: jax.Array
@@ -224,34 +228,30 @@ def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
 
     def step(t, carry):
         rows, done, result = carry
-        # --- marked? ---
-        mb = (rows >> 7).astype(jnp.int32)
-        mrow = idx.mark[mb]                       # (M, 5)
-        mo = rows & U32(127)
-        wsel = (mo >> 5).astype(jnp.int32)
-        bsel = mo & U32(31)
-        words = mrow[:, 1:5]                      # (M, 4)
-        word = jnp.take_along_axis(words, wsel[:, None], axis=1)[:, 0]
+        # --- marked? (mark word + rank + sample: 3 element gathers) ---
+        mw = (rows >> 5).astype(jnp.int32)
+        word = jnp.take(idx.mark_words, mw)
+        bsel = rows & U32(31)
         is_marked = ((word >> bsel) & U32(1)) == U32(1)
-        # rank within block: full words below wsel + partial bits below bsel
-        w_idx = jnp.arange(4, dtype=jnp.int32)[None, :]
         partial = jnp.where(bsel == 0, U32(0),
-                            U32(0xFFFFFFFF) >> (U32(32) - bsel))[:, None]
-        wmask = jnp.where(w_idx < wsel[:, None], U32(0xFFFFFFFF),
-                          jnp.where(w_idx == wsel[:, None], partial, U32(0)))
-        rank = mrow[:, 0] + jax.lax.population_count(words & wmask).sum(axis=1).astype(U32)
-        value = idx.sa_samples[jnp.minimum(rank, U32(len(idx.sa_samples) - 1)).astype(jnp.int32)] + U32(t)
+                            U32(0xFFFFFFFF) >> (U32(32) - bsel))
+        rank = jnp.take(idx.mark_rank, mw) \
+            + jax.lax.population_count(word & partial).astype(U32)
+        value = jnp.take(
+            idx.sa_samples,
+            jnp.minimum(rank, U32(len(idx.sa_samples) - 1)).astype(jnp.int32)
+        ) + U32(t)
         newly = is_marked & ~done
         result = jnp.where(newly, value, result)
         done = done | is_marked
-        # --- LF step (reuses the fmi row for char extraction and occ) ---
+        # --- LF step (BWT word + occ count: 2 element gathers) ---
         kp = rows - (rows > idx.primary).astype(U32)
-        row = _fmi_row(idx.fmi, kp)
-        q = kp & U32(127)
-        word_b = jnp.take_along_axis(row[:, 4:12], (q >> 4).astype(jnp.int32)[:, None], axis=1)[:, 0]
-        c = (word_b >> (2 * (q & U32(15)))) & U32(3)
-        base = jnp.take_along_axis(row[:, :4], c.astype(jnp.int32)[:, None], axis=1)[:, 0]
-        lf = idx.counts[c.astype(jnp.int32)] + base + _count_in_row(row, c, q)
+        wsel = (kp >> 4).astype(jnp.int32)
+        word_b = jnp.take(idx.bwt, wsel)
+        q = kp & U32(15)
+        c = (word_b >> (2 * q)) & U32(3)
+        base = jnp.take(idx.occ, wsel * 4 + c.astype(jnp.int32))
+        lf = idx.counts[c.astype(jnp.int32)] + base + _count_in_word(word_b, c, q)
         rows = jnp.where(done, rows, lf)
         return rows, done, result
 

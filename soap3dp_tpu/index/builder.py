@@ -5,18 +5,25 @@ Replaces the reference's three-artifact pipeline (soap3-dp-builder ->
 2bwt-flex/2BWT-Builder.c:306-460 and BGS-Build.cpp:139-194) with a
 single builder that directly emits accelerator-ready flat arrays:
 
-* ``fmi``: one uint32[12] row per 128bp BWT block =
-  [occ(A), occ(C), occ(G), occ(T), bwt words 0..7]. The reference's GPU
-  occ table has the same per-128-position cumulative-count granularity
-  (GPU_OCC_INTERVAL 128, definitions.h:94; BGS-Build.cpp:146-161) but
-  keeps counts and BWT words in separate buffers; interleaving them
-  makes one HBM gather serve a full Occ query on TPU.
+* 16bp-block FM tables: ``bwt`` packs the BWT 16 bases per uint32 word
+  and ``occ`` holds the four cumulative base counts at every word
+  boundary (flat, ``occ[4*w + c]``). An Occ query is therefore TWO
+  single-u32 element gathers (count + word) plus an in-register
+  popcount. XLA's TPU gather costs per *element*, not per byte — a
+  48-byte interleaved row gather measures ~175ns/row on v5e where a
+  u32 element gather is ~10ns — so the narrow-block layout beats the
+  reference's wide-row GPU design (GPU_OCC_INTERVAL 128,
+  definitions.h:94; BGS-Build.cpp:146-161) by ~7x on the search hot
+  path at a 1.25 byte/bp memory cost (human genome: ~3.9 GB of 16 GB
+  HBM, docs/SCALING.md).
 * value-sampled suffix array: rows whose SA value is a multiple of
-  ``sa_rate`` are marked in a bitvector with a per-block rank
-  directory, giving the SA-decode walk a hard ``sa_rate``-step bound.
-  (The reference samples rows instead — BWTGenerateSaValue,
-  2BWT-Builder.c:455-457 — which leaves the walk unbounded; a hard
-  bound is what makes the walk a fixed-shape TPU loop.)
+  ``sa_rate`` are marked in a bitvector (``mark_words``, 32 rows per
+  word) with a per-word exclusive rank directory (``mark_rank``),
+  giving the SA-decode walk a hard ``sa_rate``-step bound where each
+  step is element gathers only. (The reference samples rows instead —
+  BWTGenerateSaValue, 2BWT-Builder.c:455-457 — which leaves the walk
+  unbounded; a hard bound is what makes the walk a fixed-shape TPU
+  loop.)
 * k-mer lookup table with [lo, hi) SA-interval per k-mer, the analog of
   the reference's 13-mer LT (2bwt-flex/LT.h:49-56).
 
@@ -24,6 +31,11 @@ Only the forward BWT is built. The reference also builds a reverse BWT
 for bidirectional search in its mismatch-case enumeration
 (DV-Kernel.cu cases A-F); the rebuilt aligner uses pigeonhole
 seed-and-verify instead, which needs backward search only.
+
+Format history: version 1 interleaved occ4 + eight BWT words in
+128bp-block rows (``fmi`` (nb,12), ``mark`` (nb,5)); ``load_index``
+transparently upgrades v1 directories (pure numpy passes, no suffix
+array rebuild) and persists the v2 arrays next to the v1 ones.
 """
 
 from __future__ import annotations
@@ -38,13 +50,11 @@ from soap3dp_tpu.index.packing import PackedGenome, pack_fasta
 from soap3dp_tpu.index.suffix_array import bwt_from_sa, suffix_array
 from soap3dp_tpu.utils import dna
 
-OCC_INTERVAL = 128           # bases per fmi block (definitions.h:94)
-WORDS_PER_BLOCK = OCC_INTERVAL // dna.BASES_PER_WORD  # 8
-FMI_ROW = 4 + WORDS_PER_BLOCK  # occ4 + 8 words = 12 uint32
-MARK_ROW = 5                 # [rank, 4 mark words] per 128 rows
+OCC_INTERVAL = dna.BASES_PER_WORD  # bases per occ block = one packed word
+MARK_INTERVAL = 32           # SA rows per mark bitvector word
 PAC_PAD_WORDS = 64           # guard words so window gathers never go OOB
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 @dataclasses.dataclass
@@ -54,8 +64,10 @@ class Index:
     n: int                   # text length (concatenated genome)
     primary: int             # row of the sentinel in the conceptual BWT
     counts: np.ndarray       # (5,) uint32: C array, counts[c] = |{x < c}| incl. sentinel
-    fmi: np.ndarray          # (nb, 12) uint32 interleaved occ + BWT words
-    mark: np.ndarray         # (nb, 5) uint32 SA-sample bitvector + rank directory
+    occ: np.ndarray          # (4 * nw,) uint32: occ[4w+c] = #c in BWT[:16w]
+    bwt: np.ndarray          # (nw,) uint32 packed BWT (16 bases/word)
+    mark_rank: np.ndarray    # (nmw,) uint32 exclusive rank of marked rows
+    mark_words: np.ndarray   # (nmw,) uint32 SA-sample bitvector (32 rows/word)
     sa_samples: np.ndarray   # (num_samples,) uint32
     sa_rate: int             # sampling rate d (walk bound)
     lut_lo: np.ndarray       # (4^lut_k,) uint32
@@ -104,11 +116,11 @@ def build_index(
     counts[1:] = (1 + np.cumsum(base_counts)).astype(np.uint32)
     # counts layout: counts[c] = C[c] for backward search; counts[4] = n+1.
 
-    _log("fmi blocks...")
-    fmi = _build_fmi(bwt, n)
-    del bwt  # multi-GB at genome scale; not needed past the fmi build
+    _log("occ/bwt word tables...")
+    occ, bwt_words = _build_fm_tables(bwt, n)
+    del bwt  # multi-GB at genome scale; not needed past the table build
     _log("sa sampling...")
-    mark, sa_samples = _build_sa_sampling(sa, n, sa_rate)
+    mark_rank, mark_words, sa_samples = _build_sa_sampling(sa, n, sa_rate)
     if lut_k is None:
         lut_k = 13 if n >= 1_000_000 else max(2, min(8, int(np.log2(max(n, 16))) // 2))
     _log(f"lut (k={lut_k})...")
@@ -123,8 +135,10 @@ def build_index(
         n=n,
         primary=primary,
         counts=counts,
-        fmi=fmi,
-        mark=mark,
+        occ=occ,
+        bwt=bwt_words,
+        mark_rank=mark_rank,
+        mark_words=mark_words,
         sa_samples=sa_samples,
         sa_rate=sa_rate,
         lut_lo=lut_lo,
@@ -138,43 +152,46 @@ def build_index(
     )
 
 
-def _build_fmi(bwt: np.ndarray, n: int) -> np.ndarray:
-    """Interleave per-block cumulative occ counts with packed BWT words."""
-    nb = n // OCC_INTERVAL + 1
-    padded = np.full(nb * OCC_INTERVAL, 255, dtype=np.uint8)
+def _build_fm_tables(bwt: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat per-word cumulative occ counts + packed BWT words.
+
+    occ[4w + c] = #occurrences of base c in BWT[0 : 16w). One u32 element
+    gather each for count and word serves a full Occ query on TPU.
+    """
+    nw = n // OCC_INTERVAL + 1
+    padded = np.full(nw * OCC_INTERVAL, 255, dtype=np.uint8)
     padded[:n] = bwt
-    # Per-block counts of each base (memory-light: one bool pass per base;
-    # padding is code 255 so it never counts).
-    starts = np.arange(nb) * OCC_INTERVAL
-    block_counts = np.empty((nb, 4), dtype=np.uint32)
+    lanes = padded.reshape(nw, OCC_INTERVAL)
+    occ = np.empty((nw, 4), dtype=np.uint32)
     for c in range(4):
-        block_counts[:, c] = np.add.reduceat((padded == c), starts)
-    occ = np.zeros((nb, 4), dtype=np.uint32)
-    np.cumsum(block_counts[:-1], axis=0, out=occ[1:])
+        # one transient bool array at a time; padding (255) never counts
+        cnts = (lanes == c).sum(axis=1, dtype=np.uint32)
+        occ[0, c] = 0
+        np.cumsum(cnts[:-1], out=occ[1:, c])
     padded[padded == 255] = 0  # pack padding as A (masked by occ counts)
+    words = dna.pack_codes(padded)[:nw]
+    return occ.reshape(-1), words
 
-    words = dna.pack_codes(padded).reshape(nb, WORDS_PER_BLOCK)
-    return np.concatenate([occ, words], axis=1).astype(np.uint32)
 
-
-def _build_sa_sampling(sa: np.ndarray, n: int, rate: int) -> tuple[np.ndarray, np.ndarray]:
-    """Value-sampled SA: bitvector + per-block rank + sample values."""
+def _build_sa_sampling(sa: np.ndarray, n: int, rate: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Value-sampled SA: flat bitvector words + exclusive rank + values."""
     assert rate & (rate - 1) == 0, "sa_rate must be a power of two"
-    nb = n // OCC_INTERVAL + 1
+    nmw = (n + 1) // MARK_INTERVAL + 1
     marked = (sa % rate) == 0
     rows = np.flatnonzero(marked)
     sa_samples = sa[rows].astype(np.uint32)
 
-    bits = np.zeros(nb * OCC_INTERVAL, dtype=bool)
+    bits = np.zeros(nmw * MARK_INTERVAL, dtype=bool)
     bits[rows] = True
-    lanes = bits.reshape(nb * 4, 32).astype(np.uint32)
-    words = np.bitwise_or.reduce(lanes << np.arange(32, dtype=np.uint32)[None, :], axis=1)
-    words = words.reshape(nb, 4)
+    lanes = bits.reshape(nmw, MARK_INTERVAL).astype(np.uint32)
+    words = np.bitwise_or.reduce(
+        lanes << np.arange(MARK_INTERVAL, dtype=np.uint32)[None, :], axis=1)
 
-    per_block = bits.reshape(nb, OCC_INTERVAL).sum(axis=1, dtype=np.uint32)
-    rank = np.zeros(nb, dtype=np.uint32)
-    np.cumsum(per_block[:-1], out=rank[1:])
-    return np.concatenate([rank[:, None], words], axis=1).astype(np.uint32), sa_samples
+    per_word = lanes.sum(axis=1, dtype=np.uint32)
+    rank = np.zeros(nmw, dtype=np.uint32)
+    np.cumsum(per_word[:-1], out=rank[1:])
+    return rank, words.astype(np.uint32), sa_samples
 
 
 def _build_lut(codes: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -221,8 +238,8 @@ def _build_lut(codes: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, n
 # (IndexHandler.h:61-84).
 # ------------------------------------------------------------------
 
-_ARRAYS = ["counts", "fmi", "mark", "sa_samples", "lut_lo", "lut_hi", "pac",
-           "offsets", "amb_starts", "amb_ends"]
+_ARRAYS = ["counts", "occ", "bwt", "mark_rank", "mark_words", "sa_samples",
+           "lut_lo", "lut_hi", "pac", "offsets", "amb_starts", "amb_ends"]
 
 
 def save_index(index: Index, path: str | os.PathLike) -> None:
@@ -241,9 +258,62 @@ def save_index(index: Index, path: str | os.PathLike) -> None:
         np.save(os.path.join(path, f"{name}.npy"), getattr(index, name))
 
 
+def _popcount_u32(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount of a uint32 array (numpy has no native popcount)."""
+    x = x - ((x >> 1) & np.uint32(0x55555555))
+    x = (x & np.uint32(0x33333333)) + ((x >> 2) & np.uint32(0x33333333))
+    x = (x + (x >> 4)) & np.uint32(0x0F0F0F0F)
+    return (x * np.uint32(0x01010101)) >> 24
+
+
+def _upgrade_v1(path: str | os.PathLike, meta: dict) -> None:
+    """Derive the v2 flat arrays from a v1 directory, in place.
+
+    v1 interleaved 128bp rows: fmi (nb, 12) = [occ4 | 8 BWT words],
+    mark (nb, 5) = [rank | 4 bitvector words]. Pure vectorized numpy —
+    no suffix-array rebuild — so even a human-scale upgrade is a
+    sub-minute one-time job.
+    """
+    n = meta["n"]
+    fmi = np.load(os.path.join(path, "fmi.npy"), mmap_mode="r")
+    nw = n // OCC_INTERVAL + 1
+    nb = fmi.shape[0]
+    words_all = np.ascontiguousarray(fmi[:, 4:12]).reshape(-1)  # (nb*8,)
+    # per-word per-base counts, excl-cumsummed within each 128bp block
+    occ = np.empty((nb * 8, 4), dtype=np.uint32)
+    for c in range(4):
+        x = words_all ^ np.uint32(c * 0x55555555)
+        pc = _popcount_u32((~(x | (x >> np.uint32(1)))) & np.uint32(0x55555555))
+        pcr = pc.reshape(nb, 8)
+        excl = np.zeros((nb, 8), dtype=np.uint32)
+        np.cumsum(pcr[:, :-1], axis=1, out=excl[:, 1:])
+        # pad bases in the final partial word were packed as A ('0') in
+        # v1; they sit at positions >= n so no occ entry w <= n//16 is
+        # affected (entries past nw are sliced off below)
+        occ[:, c] = (np.asarray(fmi[:, c], np.uint32)[:, None] + excl).reshape(-1)
+    np.save(os.path.join(path, "occ.npy"), occ[:nw].reshape(-1))
+    np.save(os.path.join(path, "bwt.npy"), words_all[:nw])
+    del occ, words_all
+
+    mark = np.load(os.path.join(path, "mark.npy"), mmap_mode="r")
+    nmw = (n + 1) // MARK_INTERVAL + 1
+    mwords = np.ascontiguousarray(mark[:, 1:5]).reshape(-1)     # (nb*4,)
+    pm = _popcount_u32(mwords).reshape(nb, 4)
+    excl = np.zeros((nb, 4), dtype=np.uint32)
+    np.cumsum(pm[:, :-1], axis=1, out=excl[:, 1:])
+    rank = (np.asarray(mark[:, 0], np.uint32)[:, None] + excl).reshape(-1)
+    np.save(os.path.join(path, "mark_rank.npy"), rank[:nmw])
+    np.save(os.path.join(path, "mark_words.npy"), mwords[:nmw])
+    meta["format_version"] = FORMAT_VERSION
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
 def load_index(path: str | os.PathLike) -> Index:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    if meta["format_version"] == 1:
+        _upgrade_v1(path, meta)
     if meta["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported index format {meta['format_version']}")
     arrays = {name: np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")

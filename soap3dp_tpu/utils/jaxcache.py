@@ -6,6 +6,13 @@ Persisting compiled executables across runs (and across the builder /
 aligner / bench entry points) makes every run after the first start
 hot. The reference has no analog — CUDA kernels are compiled at build
 time; this is the JAX equivalent of shipping prebuilt cubins.
+
+The default cache location is the repo-local ``.jaxcache/`` directory
+when it exists (serialized executables are small — a few MB for the
+whole pipeline — so the repo ships them like prebuilt cubins and a
+fresh container reaches steady state without a single compile;
+``tools/warm_cache.py`` regenerates it), falling back to
+``~/.cache/soap3dp-jax``. ``SOAP3DP_JAX_CACHE`` overrides both.
 """
 
 from __future__ import annotations
@@ -15,14 +22,25 @@ import os
 _enabled = False
 
 
+def default_cache_dir() -> str:
+    env = os.environ.get("SOAP3DP_JAX_CACHE")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    repo_cache = os.path.join(here, ".jaxcache")
+    if os.path.isdir(repo_cache):
+        return repo_cache
+    return os.path.expanduser("~/.cache/soap3dp-jax")
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
     import jax
 
-    path = path or os.environ.get(
-        "SOAP3DP_JAX_CACHE", os.path.expanduser("~/.cache/soap3dp-jax"))
+    path = path or default_cache_dir()
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -110,19 +110,19 @@ def test_bwt_lf_property(rng):
     assert np.array_equal(np.asarray(text[::-1], dtype=np.uint8), codes)
 
 
-def test_fmi_occ_table(rng):
+def test_fm_occ_table(rng):
     g = make_genome(rng, 5000)
     idx = build_index(g, sa_rate=4)
     sa = suffix_array(g.codes)
     bwt, primary = bwt_from_sa(g.codes, sa)
-    # occ columns must equal prefix counts at block boundaries
-    nb = idx.fmi.shape[0]
-    for b in [0, 1, nb // 2, nb - 1]:
+    # occ entries must equal prefix counts at every word boundary
+    nw = idx.bwt.shape[0]
+    occ = np.asarray(idx.occ).reshape(nw, 4)
+    for w in [0, 1, nw // 2, nw - 1]:
         for c in range(4):
-            assert idx.fmi[b, c] == np.sum(bwt[: b * 128] == c)
+            assert occ[w, c] == np.sum(bwt[: w * 16] == c)
     # words decode back to the bwt
-    words = idx.fmi[:, 4:12].reshape(-1)
-    assert np.array_equal(dna.unpack_words(words, len(bwt)), bwt)
+    assert np.array_equal(dna.unpack_words(np.asarray(idx.bwt), len(bwt)), bwt)
 
 
 def test_sa_sampling_structures(rng):
@@ -131,12 +131,14 @@ def test_sa_sampling_structures(rng):
     sa = suffix_array(g.codes)
     marked = (sa % 8) == 0
     assert idx.sa_samples.shape[0] == marked.sum()
-    # spot-check rank directory
+    # spot-check bitvector + exclusive rank directory
     rows = np.flatnonzero(marked)
     for row in rows[:: max(1, len(rows) // 20)]:
-        b, o = row >> 7, row & 127
-        w = idx.mark[b, 1 + (o >> 5)]
-        assert (w >> (o & 31)) & 1 == 1
+        w, o = row >> 5, row & 31
+        assert (idx.mark_words[w] >> o) & 1 == 1
+        below = int(idx.mark_rank[w]) + bin(
+            int(idx.mark_words[w]) & ((1 << o) - 1)).count("1")
+        assert below == int(np.flatnonzero(rows == row)[0])
 
 
 def test_lut_intervals(rng):
@@ -166,9 +168,54 @@ def test_save_load_roundtrip(tmp_path, small_index):
     loaded = load_index(tmp_path / "idx")
     assert loaded.n == small_index.n
     assert loaded.primary == small_index.primary
-    assert np.array_equal(loaded.fmi, small_index.fmi)
+    assert np.array_equal(loaded.occ, small_index.occ)
+    assert np.array_equal(loaded.bwt, small_index.bwt)
     assert np.array_equal(loaded.sa_samples, small_index.sa_samples)
     assert loaded.names == small_index.names
+
+
+def test_v1_format_upgrade(tmp_path, small_index, rng):
+    """A v1 directory (interleaved 128bp fmi/mark rows) upgrades in place
+    to the v2 flat layout with identical query semantics."""
+    import json
+    import os
+
+    from soap3dp_tpu.index.builder import MARK_INTERVAL
+
+    idx = small_index
+    path = tmp_path / "v1idx"
+    save_index(idx, path)
+    n = idx.n
+    # reconstruct the v1 arrays from the v2 ones and rewrite the dir
+    nw, nmw = idx.bwt.shape[0], idx.mark_words.shape[0]
+    nb = n // 128 + 1
+    occ = np.asarray(idx.occ).reshape(nw, 4)
+    words = np.zeros(nb * 8, np.uint32)
+    words[:nw] = idx.bwt
+    fmi = np.zeros((nb, 12), np.uint32)
+    fmi[:, 4:12] = words.reshape(nb, 8)
+    for b in range(nb):
+        fmi[b, :4] = occ[min(b * 8, nw - 1), :]
+    mwords = np.zeros(nb * 4, np.uint32)
+    mwords[:nmw] = idx.mark_words
+    mark = np.zeros((nb, 5), np.uint32)
+    mark[:, 1:5] = mwords.reshape(nb, 4)
+    for b in range(nb):
+        mark[b, 0] = idx.mark_rank[min(b * 4, nmw - 1)]
+    np.save(path / "fmi.npy", fmi)
+    np.save(path / "mark.npy", mark)
+    for name in ("occ", "bwt", "mark_rank", "mark_words"):
+        os.unlink(path / f"{name}.npy")
+    meta = json.load(open(path / "meta.json"))
+    meta["format_version"] = 1
+    json.dump(meta, open(path / "meta.json", "w"))
+
+    up = load_index(path)
+    assert np.array_equal(up.occ, idx.occ)
+    assert np.array_equal(up.bwt, idx.bwt)
+    assert np.array_equal(up.mark_rank, idx.mark_rank)
+    assert np.array_equal(up.mark_words, idx.mark_words)
+    assert json.load(open(path / "meta.json"))["format_version"] == 2
 
 
 def test_ambiguity_regions(rng):

@@ -123,8 +123,13 @@ def test_occ_blocks_match_gpu_table(ref_fixture, ours):
     inv, cum, gpu = ref_builder.read_gpu_occ(prefix)
     assert inv == idx.primary
     prefix_cum = np.concatenate([[0], cum[:3]])  # chars < c, no sentinel
-    nb = min(gpu.shape[0], idx.fmi.shape[0])
-    ours_abs = idx.fmi[:nb, :4].astype(np.int64) + prefix_cum[None, :]
+    # our occ is per-16bp word; the 128bp block boundaries are every
+    # 8th word (same cumulative-count semantics, finer granularity)
+    nw = idx.bwt.shape[0]
+    occ = np.asarray(idx.occ).reshape(nw, 4)
+    ours_128 = occ[:: 8]
+    nb = min(gpu.shape[0], ours_128.shape[0])
+    ours_abs = ours_128[:nb].astype(np.int64) + prefix_cum[None, :]
     assert np.array_equal(ours_abs, gpu[:nb].astype(np.int64))
 
 

@@ -51,7 +51,7 @@ def main():
     index, codes = bench.get_index()
     t0 = time.time()
     didx = fmindex.device_index(index)
-    jax.block_until_ready(didx.fmi)
+    jax.block_until_ready(didx.occ)
     print(f"  index upload: {time.time() - t0:.2f}s", file=sys.stderr)
 
     rng = np.random.default_rng(5)

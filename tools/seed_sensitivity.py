@@ -36,7 +36,7 @@ def main() -> int:
     enable_persistent_cache()
     index, codes = bench.get_index(40_000_000, sa_rate=1, lut_k=14)
     didx = device_index(index)
-    jax.block_until_ready(didx.fmi)
+    jax.block_until_ready(didx.occ)
     codes = np.asarray(codes)
 
     L = 100
