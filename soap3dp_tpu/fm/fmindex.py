@@ -185,7 +185,7 @@ def backward_search(
 
 def rolling_kmer_codes(seqs: jax.Array, k: int) -> jax.Array:
     """(B, L) codes -> (B, L) uint32 MSB-first k-mer code starting at
-    each position (positions past L-k hold garbage; callers clamp).
+    each position (positions past L-k are zero-filled = 'A' padded).
 
     Sequential shift-adds only — the LUT-only seed path uses this to
     avoid materializing per-lane seed characters."""
@@ -197,6 +197,55 @@ def rolling_kmer_codes(seqs: jax.Array, k: int) -> jax.Array:
             [s32[:, j:], jnp.zeros((B, j), jnp.uint32)], axis=1)
         km = km | (shifted << jnp.uint32(2 * (k - 1 - j)))
     return km
+
+
+def backward_search_packed(
+    idx: DeviceIndex,
+    roll16: jax.Array,    # (R, L) uint32 rolling 16-char codes (MSB-first)
+    seq_rows: jax.Array,  # (B,) int32 oriented-read row of each lane
+    start: jax.Array,     # (B,) int32 segment start within the read
+    length: jax.Array,    # (B,) int32 segment length (<= lut_k + 16)
+    max_steps: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Seed search where ALL per-lane characters come from TWO u32
+    element gathers of a rolling 16-char code array: one word supplies
+    the LUT k-mer (its top lut_k chars), one supplies every FM
+    extension character in-register.
+
+    Replaces the generic ``backward_search`` on the round-1 hot path:
+    that version materializes the (lanes, L) read matrix (a ~100-byte
+    row gather per lane) and gathers each k-mer/extension character
+    individually — measured ~480ms of a 200k-read batch on v5e, vs
+    ~10ns per element take here. Requires length <= lut_k + 16 so the
+    extension window fits one word (the round-2 full-segment re-runs
+    keep the generic path).
+    """
+    k = idx.lut_k
+    n1 = idx.n + U32(1)
+    R, L = roll16.shape
+    r16 = roll16.reshape(-1)
+    flat = seq_rows * L
+    tail = jnp.clip(start + length - k, 0, L - 1)
+    wtail = jnp.take(r16, flat + tail)
+    m = (wtail >> jnp.uint32(2 * (16 - k))).astype(jnp.int32)
+    can_lut = length >= k
+    l0 = jnp.where(can_lut, jnp.take(idx.lut_lo, m), U32(0))
+    r0 = jnp.where(can_lut, jnp.take(idx.lut_hi, m), n1)
+    # extension characters: positions [start, start + ext) with
+    # ext <= 16 all live in the word starting at `start`
+    wext = jnp.take(r16, flat + jnp.clip(start, 0, L - 1))
+    ext = jnp.where(can_lut, length - k, length)
+
+    def step(s, carry):
+        l, r = carry
+        d = jnp.clip(ext - 1 - s, 0, 15)
+        c = (wext >> (2 * (15 - d)).astype(jnp.uint32)) & U32(3)
+        l2, r2 = backward_extend(idx, l, r, c)
+        active = (s < ext) & (l < r)
+        return jnp.where(active, l2, l), jnp.where(active, r2, r)
+
+    l, r = jax.lax.fori_loop(0, max_steps, step, (l0, r0))
+    return l, r
 
 
 # ------------------------------------------------------------------
@@ -224,25 +273,37 @@ def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
         return jnp.where(valid, jnp.take(idx.sa_samples, safe), U32(0))
     rows = jnp.where(valid, rows, U32(0))
     done = ~valid
-    result = jnp.zeros_like(rows)
+    # Defer the rank-directory + sample gathers out of the loop: each
+    # iteration only needs the mark WORD to know a row is marked; the
+    # in-word bit count below the row is in-register math, so recording
+    # (mark-word index, bits-below, step) costs no gathers and the walk
+    # is 3 element gathers per iteration (mark word + BWT word + occ)
+    # instead of 5. One mark_rank + one sa_samples gather finish the job.
+    mw_hit = jnp.zeros_like(rows, dtype=jnp.int32)
+    below_hit = jnp.zeros_like(rows)
+    t_hit = jnp.zeros_like(rows)
 
-    def step(t, carry):
-        rows, done, result = carry
-        # --- marked? (mark word + rank + sample: 3 element gathers) ---
+    def mark_probe(rows):
         mw = (rows >> 5).astype(jnp.int32)
         word = jnp.take(idx.mark_words, mw)
         bsel = rows & U32(31)
         is_marked = ((word >> bsel) & U32(1)) == U32(1)
         partial = jnp.where(bsel == 0, U32(0),
                             U32(0xFFFFFFFF) >> (U32(32) - bsel))
-        rank = jnp.take(idx.mark_rank, mw) \
-            + jax.lax.population_count(word & partial).astype(U32)
-        value = jnp.take(
-            idx.sa_samples,
-            jnp.minimum(rank, U32(len(idx.sa_samples) - 1)).astype(jnp.int32)
-        ) + U32(t)
+        below = jax.lax.population_count(word & partial).astype(U32)
+        return mw, is_marked, below
+
+    def record(newly, t, mw, below, carry):
+        mw_hit, below_hit, t_hit = carry
+        return (jnp.where(newly, mw, mw_hit),
+                jnp.where(newly, below, below_hit),
+                jnp.where(newly, U32(t), t_hit))
+
+    def step(t, carry):
+        rows, done, hits = carry
+        mw, is_marked, below = mark_probe(rows)
         newly = is_marked & ~done
-        result = jnp.where(newly, value, result)
+        hits = record(newly, t, mw, below, hits)
         done = done | is_marked
         # --- LF step (BWT word + occ count: 2 element gathers) ---
         kp = rows - (rows > idx.primary).astype(U32)
@@ -253,10 +314,22 @@ def sa_decode(idx: DeviceIndex, rows: jax.Array, valid: jax.Array) -> jax.Array:
         base = jnp.take(idx.occ, wsel * 4 + c.astype(jnp.int32))
         lf = idx.counts[c.astype(jnp.int32)] + base + _count_in_word(word_b, c, q)
         rows = jnp.where(done, rows, lf)
-        return rows, done, result
+        return rows, done, hits
 
-    rows, done, result = jax.lax.fori_loop(0, idx.sa_rate, step, (rows, done, result))
-    return result
+    hits = (mw_hit, below_hit, t_hit)
+    rows, done, hits = jax.lax.fori_loop(
+        0, idx.sa_rate - 1, step, (rows, done, hits))
+    # final iteration: a value-sampled SA guarantees a mark within
+    # sa_rate steps, so the last LF would be dead work — probe only
+    mw, is_marked, below = mark_probe(rows)
+    hits = record(is_marked & ~done, idx.sa_rate - 1, mw, below, hits)
+    mw_hit, below_hit, t_hit = hits
+
+    rank = jnp.take(idx.mark_rank, mw_hit) + below_hit
+    value = jnp.take(
+        idx.sa_samples,
+        jnp.minimum(rank, U32(len(idx.sa_samples) - 1)).astype(jnp.int32))
+    return jnp.where(valid, value + t_hit, U32(0))
 
 
 # ------------------------------------------------------------------

@@ -182,6 +182,15 @@ def _search_batch(
         m = m.reshape(-1).astype(jnp.int32)
         l = idx.lut_lo[m]
         r = idx.lut_hi[m]
+    elif 0 < seed_q <= idx.lut_k + 16 and idx.lut_k <= 16:
+        # truncated seeds whose extension window fits one u32 word:
+        # two element gathers per lane replace the per-lane read-row
+        # materialization + per-character gathers (the hot round-1 path
+        # for genomes whose seed prefix exceeds the LUT width)
+        roll16 = fmindex.rolling_kmer_codes(oriented, 16)
+        l, r = fmindex.backward_search_packed(
+            idx, roll16, seq_rows, sstart.reshape(-1), slen.reshape(-1),
+            max_steps=max_seed_steps)
     else:
         l, r = fmindex.backward_search(
             idx,
@@ -197,20 +206,30 @@ def _search_batch(
 
     # enumerate up to cap slots per seed (skip overflowed seeds entirely;
     # their reads re-run in round 2 with full segments + a larger cap).
-    # NOTE: a two-level scheme (lane-parallel slot 0 + small compaction
-    # for multi-occurrence lanes) was measured SLOWER — the 1.4x larger
-    # candidate set costs more in decode/dedupe gathers than the full
-    # (R*S, cap) nonzero saves.
-    slot = jnp.arange(cap, dtype=jnp.uint32)[None, :]
-    enum_ok = (slot < width[:, None]) & ~overflow[:, None]   # (R*S, cap)
-    total = enum_ok.sum(dtype=jnp.int32)
+    # Compaction runs at LANE granularity — exclusive cumsum of per-lane
+    # counts, a scatter-max of lane ids at each lane's output offset,
+    # and a cummax fill over the K output slots — instead of
+    # jnp.nonzero over the (R*S, cap) slot matrix: the scanned domain
+    # shrinks ~cap x (a 25.6M-bool nonzero measured 229ms of a
+    # 200k-read batch on v5e; this is ~50ms). A slot-0-direct +
+    # small-extras decomposition was measured SLOWER (the 1.4x larger
+    # candidate set costs more in decode/dedupe gathers than it saves).
+    RS = l.shape[0]
+    cnt = jnp.where(overflow, U32(0), jnp.minimum(width, U32(cap))
+                    ).astype(jnp.int32)                      # (R*S,)
+    incl = jnp.cumsum(cnt)
+    off = incl - cnt                                         # exclusive
+    total = incl[-1]
 
-    # compact: only real candidate slots reach SA decode / verification
-    flat_idx = jnp.nonzero(enum_ok.reshape(-1), size=K, fill_value=-1)[0]
-    cvalid = flat_idx >= 0
-    flat_safe = jnp.where(cvalid, flat_idx, 0)
-    lane = (flat_safe // cap).astype(jnp.int32)              # (K,)
-    cslot = (flat_safe % cap).astype(jnp.uint32)
+    # expand: output slot k belongs to lane i iff off[i] <= k < incl[i]
+    scat = jnp.where(cnt > 0, off, K).astype(jnp.int32)
+    tbl = jnp.zeros(K + 1, jnp.int32).at[scat].max(
+        jnp.arange(RS, dtype=jnp.int32) + 1, mode="drop")
+    lane_p1 = jax.lax.cummax(tbl[:K])
+    idxK = jnp.arange(K, dtype=jnp.int32)
+    cvalid = (idxK < total) & (lane_p1 > 0)
+    lane = jnp.maximum(lane_p1 - 1, 0)                       # (K,)
+    cslot = jnp.where(cvalid, idxK - off[lane], 0).astype(jnp.uint32)
     rows_sa = l[lane] + cslot
 
     sa_pos = fmindex.sa_decode(idx, rows_sa, cvalid)

@@ -44,7 +44,10 @@ def enable_persistent_cache(path: str | None = None) -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING: with a remote-relay backend even a tiny
+        # eager op costs a ~0.3-1.5s compile round trip, and a cold
+        # process dispatches ~100 of them before steady state
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _enabled = True
     except Exception as e:  # cache is an optimization, never fatal

@@ -10,20 +10,34 @@ The rebuild's analog of the reference's per-stage timers
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(out):
+    """Force real completion: on the remote-relay backend
+    jax.block_until_ready returns at enqueue time, so the only honest
+    fence is a (tiny) D2H read of every output leaf."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "addressable_data") or hasattr(leaf, "devices"):
+            np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf)
+
 
 def t(label, fn, *args, n=3, **kw):
-    import jax
-    fn(*args, **kw)  # warmup/compile
+    _sync(fn(*args, **kw))  # warmup/compile
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.time() - t0)
     print(f"  {label:<42s} {best * 1e3:9.1f} ms", file=sys.stderr)
     return out
@@ -32,6 +46,10 @@ def t(label, fn, *args, n=3, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=25000)
+    ap.add_argument("--genome", type=int, default=40,
+                    help="bench genome size in Mbp: 40 (full SA, LUT-only)"
+                         " or 250 (sampled SA + FM extension steps)")
+    ap.add_argument("--k", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -48,17 +66,21 @@ def main():
     from soap3dp_tpu.pipeline.pair import pair_hits
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    index, codes = bench.get_index()
+    if args.genome == 40:
+        index, codes = bench.get_index(40_000_000, sa_rate=1, lut_k=14)
+    else:
+        index, codes = bench.get_index(args.genome * 1_000_000,
+                                       sa_rate=4, lut_k=13)
     t0 = time.time()
     didx = fmindex.device_index(index)
-    jax.block_until_ready(didx.occ)
+    _sync(didx.occ)
     print(f"  index upload: {time.time() - t0:.2f}s", file=sys.stderr)
 
     rng = np.random.default_rng(5)
     b1, b2 = bench.make_pairs(codes, args.pairs, rng)
     B = args.pairs
     lens = jnp.full(B, bench.READ_LEN, jnp.int32)
-    cfg = SearchConfig(k=2, occ_cap=16)
+    cfg = SearchConfig(k=args.k, occ_cap=16)
 
     print(f"batch = {B} pairs ({2 * B} reads x {bench.READ_LEN}bp)",
           file=sys.stderr)
