@@ -286,6 +286,49 @@ def _search_batch(
                      flagged=flagged), jnp.stack([total, uniq])
 
 
+@partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
+                                   "K", "L", "K2", "uniform_len"))
+def _search_batch_wire(idx, reads, lens, cfg, cap, max_seed_steps,
+                       seed_q=0, K=0, L=0, K2=0, uniform_len=0):
+    """_search_batch with everything the host needs in ONE u32 vector:
+    [total, uniq | flagged bits | tp (K2) | meta (K2)].
+
+    Every D2H sync on the remote-relay link costs an erratic 50-150ms;
+    the un-fused path pays one for the totals (retry check), one for
+    the hit arrays and one for the flagged mask. meta packs
+    row(24b) | nmis(7b) | valid(1b) as in HitArrays.to_host.
+    """
+    hits, totals = _search_batch(idx, reads, lens, cfg, cap, max_seed_steps,
+                                 seed_q, K, L, K2, uniform_len)
+    B = hits.flagged.shape[0]
+    Bp = -(-B // 32) * 32
+    fl = jnp.zeros(Bp, jnp.uint32).at[:B].set(hits.flagged.astype(jnp.uint32))
+    fl_words = (fl.reshape(-1, 32)
+                << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                    axis=1, dtype=jnp.uint32)
+    meta = (jnp.clip(hits.row, 0, (1 << 24) - 1).astype(jnp.uint32)
+            | (jnp.clip(hits.nmis, 0, 127).astype(jnp.uint32) << 24)
+            | (hits.valid.astype(jnp.uint32) << 31))
+    return jnp.concatenate([totals.astype(jnp.uint32), fl_words,
+                            hits.tp, meta])
+
+
+def _parse_wire(wire_h: np.ndarray, B: int, K2: int) -> tuple:
+    """Host-side decode of _search_batch_wire's vector."""
+    total, uniq = int(wire_h[0]), int(wire_h[1])
+    nf = (-(-B // 32) * 32) // 32
+    fl_words = wire_h[2:2 + nf]
+    flagged = ((fl_words[:, None] >> np.arange(32, dtype=np.uint32)[None, :])
+               & 1).astype(bool).reshape(-1)[:B]
+    tp = wire_h[2 + nf:2 + nf + K2]
+    meta = wire_h[2 + nf + K2:2 + nf + 2 * K2]
+    row = (meta & 0xFFFFFF).astype(np.int32)
+    nmis = ((meta >> 24) & 0x7F).astype(np.int32)
+    valid = (meta >> 31).astype(bool)
+    return total, uniq, HitArrays(row=row, tp=tp, nmis=nmis, valid=valid,
+                                  flagged=flagged)
+
+
 def default_seed_q(idx: DeviceIndex, cfg: SearchConfig) -> int:
     """Genome-size-scaled seed prefix length: enough specificity that the
     expected random-hit count per seed stays ~O(1).
@@ -389,8 +432,9 @@ class PendingSearch:
         # uniform-length batches take the cheap lane-reversal revcomp
         self.uniform = int(self.lens_h[0]) \
             if (self.lens_h == self.lens_h[0]).all() else 0
-        # async dispatch; no sync here
-        self._hits, self._total = _search_batch(
+        # async dispatch; no sync here. The wire variant fuses hits +
+        # totals + flagged into one D2H transfer (one link sync/batch)
+        self._wire = _search_batch_wire(
             idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
             self.seed_q, min(self.K, self.K_max), L=self.L,
             K2=min(self.K2, self.K2_max), uniform_len=self.uniform)
@@ -417,21 +461,21 @@ class PendingSearch:
             z = np.zeros(0, np.int32)
             return HitArrays(row=z, tp=z.astype(np.uint32), nmis=z,
                              valid=z.astype(bool), flagged=np.zeros(0, bool))
-        hits, K, K2 = self._hits, self.K, self.K2
-        th = np.asarray(self._total)
-        t, u = int(th[0]), int(th[1])
+        K, K2 = self.K, self.K2
+        t, u, hits = _parse_wire(np.asarray(self._wire), B,
+                                 min(K2, self.K2_max))
         while ((t > min(K, self.K_max) or u > min(K2, self.K2_max))
                and (K < self.K_max or K2 < self.K2_max)):
             if t > min(K, self.K_max):
                 K = min(shapes.bucket(t), self.K_max)
             if u > min(K2, self.K2_max):
                 K2 = min(shapes.bucket(u), self.K2_max)
-            hits, totals = _search_batch(
+            wire = _search_batch_wire(
                 self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
                 self.steps, self.seed_q, min(K, self.K_max), L=self.L,
                 K2=min(K2, self.K2_max), uniform_len=self.uniform)
-            th = np.asarray(totals)
-            t, u = int(th[0]), int(th[1])
+            t, u, hits = _parse_wire(np.asarray(wire), B,
+                                     min(K2, self.K2_max))
         # unique placements are compaction-ordered (pads at the end), so
         # the prefix slice still covers every real hit
         tb = min(shapes.bucket(u, min_size=1024), hits.row.shape[0])
