@@ -52,12 +52,19 @@ class AsyncWriter:
     pipeline emitters build fresh arrays per block, so this holds).
     """
 
+    # per-record writes are batched before crossing the thread boundary:
+    # a queue hand-off costs a context switch (~1ms+ when producer and
+    # consumer share one core), so enqueuing single records serializes
+    # the pipeline on the queue itself
+    RECORD_CHUNK = 512
+
     def __init__(self, inner, depth: int = 16):
         self.inner = inner
         self.needs_seq = getattr(inner, "needs_seq", True)
         self.needs_tags = getattr(inner, "needs_tags", True)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: list[BaseException] = []
+        self._buf: list = []
         if hasattr(inner, "write_block"):
             self.write_block = self._make("write_block")
         self._t = threading.Thread(target=self._run, daemon=True,
@@ -73,7 +80,11 @@ class AsyncWriter:
                 continue  # drain + discard after first failure
             name, args, kw = item
             try:
-                getattr(self.inner, name)(*args, **kw)
+                if name == "__records__":
+                    for rec in args[0]:
+                        self.inner.write(rec)
+                else:
+                    getattr(self.inner, name)(*args, **kw)
             except BaseException as e:
                 self._err.append(e)
 
@@ -89,15 +100,26 @@ class AsyncWriter:
             raise self._err[0]
         self._q.put((name, args, kw))
 
+    def _flush_buf(self):
+        if self._buf:
+            buf, self._buf = self._buf, []
+            self._put("__records__", (buf,), {})
+
     def _make(self, name):
         def call(*args, **kw):
+            self._flush_buf()  # keep record/block emission order
             self._put(name, args, kw)
         return call
 
     def write(self, rec):
-        self._put("write", (rec,), {})
+        if self._err:
+            raise self._err[0]
+        self._buf.append(rec)
+        if len(self._buf) >= self.RECORD_CHUNK:
+            self._flush_buf()
 
     def close(self):
+        self._flush_buf()
         self._q.put(_SENTINEL)
         self._t.join()
         self.inner.close()

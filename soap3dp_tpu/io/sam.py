@@ -68,6 +68,11 @@ class SamWriter:
         self._fh = open(out, "wb") if self._own else out
         self.index = index
         self.names = [n.encode() for n in index.names]
+        # chrom-name table for the native columnar formatter
+        self._rname_off = np.zeros(len(self.names) + 1, np.int64)
+        np.cumsum([len(n) for n in self.names], out=self._rname_off[1:])
+        self._rname_buf = np.frombuffer(b"".join(self.names), np.uint8) \
+            if self.names else np.zeros(0, np.uint8)
         lens = np.diff(index.offsets).astype(np.int64)
         header = [b"@HD\tVN:1.3\tSO:unsorted"]
         rg = f"@RG\tID:{read_group}\tSM:{sample}"
@@ -131,6 +136,16 @@ class SamWriter:
         flags = np.asarray(flags, np.int64)
         chroms = np.asarray(chroms, np.int64)
         poss = np.asarray(poss, np.int64)
+
+        from soap3dp_tpu.io import sam_native
+        if sam_native.available():
+            text = sam_native.format_block(
+                names, flags, self._rname_buf, self._rname_off, chroms,
+                poss, mapqs, cigars, mate_chroms, mate_poss, tlens,
+                seq_codes, seq_lens, quals, tags)
+            if text is not None:
+                self._fh.write(text)
+                return
 
         def dec(a):
             return np.char.mod(b"%d", np.asarray(a))

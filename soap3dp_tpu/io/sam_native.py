@@ -1,0 +1,158 @@
+"""ctypes loader for the native columnar SAM formatter
+(native/sam_format.cpp), the analog of the reference's hand-rolled
+record assembly (BGS-IO.cpp:2131-2273). Builds with g++ on first use;
+SamWriter.write_block falls back to the vectorized numpy assembly when
+unavailable (or when SOAP3DP_NO_NATIVE is set).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _native_dir() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.normpath(os.path.join(here, "..", "..", "native"))
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SOAP3DP_NO_NATIVE"):
+            return None
+        src = os.path.join(_native_dir(), "sam_format.cpp")
+        so = os.path.join(_native_dir(), "libsamformat.so")
+        if not os.path.exists(src):
+            return None
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", so, src],
+                    check=True, capture_output=True)
+            except (OSError, subprocess.CalledProcessError) as e:
+                print(f"[soap3dp] native sam formatter build failed ({e}); "
+                      "using numpy assembly", file=sys.stderr)
+                return None
+        lib = ctypes.CDLL(so)
+        lib.sam_format_block.restype = ctypes.c_int64
+        lib.sam_format_block.argtypes = [
+            ctypes.c_int64,                       # n
+            _U8P, _I64P,                          # names, name_off
+            _I64P,                                # flags
+            _U8P, _I64P,                          # rnames, rname_off
+            _I64P, _I64P, _I64P,                  # chroms, poss, mapqs
+            _U8P, _I64P,                          # cigars, cigar_off
+            ctypes.c_int32, _I64P, _I64P, _I64P,  # has_mate, mc, mp, tlen
+            ctypes.c_int32, ctypes.c_int64,       # has_seq, L
+            _U8P, _I64P,                          # seq_codes, seq_lens
+            ctypes.c_int32, _U8P,                 # has_qual, quals
+            ctypes.c_int32, _I64P, _I64P, _I64P,  # has_tags, x0, x1, xm
+            _U8P, ctypes.c_int64]                 # out, out_cap
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _concat_with_offsets(items) -> tuple[np.ndarray, np.ndarray]:
+    """list of bytes -> (flat uint8 buffer, int64 offsets of length n+1)."""
+    off = np.zeros(len(items) + 1, np.int64)
+    np.cumsum(np.fromiter((len(x) for x in items), np.int64,
+                          count=len(items)), out=off[1:])
+    buf = np.frombuffer(b"".join(items), np.uint8) if off[-1] \
+        else np.zeros(0, np.uint8)
+    return buf, off
+
+
+def _p64(a):
+    return a.ctypes.data_as(_I64P)
+
+
+def _p8(a):
+    return a.ctypes.data_as(_U8P)
+
+
+def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
+                 cigars, mate_chroms, mate_poss, tlens, seq_codes, seq_lens,
+                 quals, tags) -> bytes | None:
+    """SAM text for a columnar block, or None when native is unavailable.
+
+    rname_buf/rname_off are the writer's precomputed chrom-name table;
+    everything else mirrors SamWriter.write_block's arguments.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(names)
+    name_buf, name_off = _concat_with_offsets(names)
+    if cigars is not None:
+        cig_buf, cig_off = _concat_with_offsets(
+            [c if isinstance(c, bytes) else c.encode() for c in cigars])
+    else:
+        cig_buf, cig_off = np.zeros(0, np.uint8), None
+
+    def i64(a):
+        return np.ascontiguousarray(np.asarray(a), np.int64)
+
+    flags = i64(flags)
+    chroms = i64(chroms)
+    poss = i64(poss)
+    mapqs = i64(mapqs)
+    has_mate = mate_chroms is not None
+    mc = i64(mate_chroms) if has_mate else flags
+    mp = i64(mate_poss) if has_mate else flags
+    tl = i64(tlens) if has_mate else flags
+    has_seq = seq_codes is not None
+    if has_seq:
+        seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
+        L = seq_codes.shape[1]
+        seq_lens = i64(seq_lens)
+    else:
+        seq_codes = np.zeros((0, 0), np.uint8)
+        L = 0
+        seq_lens = flags
+    has_qual = quals is not None
+    qual_a = np.ascontiguousarray(quals, np.uint8) if has_qual \
+        else np.zeros(0, np.uint8)
+    has_tags = tags is not None
+    if has_tags:
+        x0, x1, xm = (i64(t) for t in tags)
+    else:
+        x0 = x1 = xm = flags
+
+    cap = int(name_off[-1]) + int(cig_off[-1] if cig_off is not None else n) \
+        + n * (2 * L + 170)
+    out = np.empty(cap, np.uint8)
+    written = lib.sam_format_block(
+        n, _p8(name_buf), _p64(name_off), _p64(flags),
+        _p8(rname_buf), _p64(rname_off),
+        _p64(chroms), _p64(poss), _p64(mapqs),
+        _p8(cig_buf), _p64(cig_off) if cig_off is not None else None,
+        1 if has_mate else 0, _p64(mc), _p64(mp), _p64(tl),
+        1 if has_seq else 0, L, _p8(seq_codes), _p64(seq_lens),
+        1 if has_qual else 0, _p8(qual_a),
+        1 if has_tags else 0, _p64(x0), _p64(x1), _p64(xm),
+        _p8(out), cap)
+    if written < 0:
+        return None  # capacity miss: numpy fallback handles it
+    return out[:written].tobytes()

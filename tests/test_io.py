@@ -351,6 +351,48 @@ def test_sam_block_writer_matches_per_record(tmp_path, small_index,
     assert "X0:i:" in out["fast"]
 
 
+def test_sam_native_formatter_matches_numpy(tmp_path, small_index, rng,
+                                            monkeypatch):
+    """The C formatter and the numpy assembly emit identical bytes,
+    including ragged read lengths, reverse-complemented lanes and the
+    X0/X1/XM tag block."""
+    import numpy as np
+    from soap3dp_tpu.io import sam_native
+    from soap3dp_tpu.io.sam import SamWriter
+
+    if not sam_native.available():
+        import pytest
+        pytest.skip("no native compiler")
+
+    n, L = 64, 50
+    names = [b"r%d" % i for i in range(n)]
+    flags = rng.choice([0x63, 0x53, 0x93, 0xA3], n)
+    chroms = np.zeros(n, np.int64)
+    poss = rng.integers(0, 10_000, n)
+    mapqs = rng.integers(0, 60, n)
+    lens = rng.integers(20, L + 1, n).astype(np.int64)
+    cigars = [b"%dM" % l for l in lens]
+    seq = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    quals = rng.integers(33, 73, (n, L)).astype(np.uint8)
+    tags = (rng.integers(1, 5, n), rng.integers(0, 3, n),
+            rng.integers(0, 4, n))
+    args = (names, flags, chroms, poss, mapqs, cigars,
+            np.zeros(n, np.int32))
+    kw = dict(mate_chroms=chroms, mate_poss=poss[::-1].copy(),
+              tlens=rng.integers(-500, 500, n), seq_codes=seq,
+              seq_lens=lens, quals=quals, tags=tags)
+    outs = {}
+    for tag, native in (("native", True), ("numpy", False)):
+        if not native:
+            monkeypatch.setattr(sam_native, "available", lambda: False)
+        p = tmp_path / f"{tag}.sam"
+        w = SamWriter(str(p), small_index)
+        w.write_block(*args, **kw)
+        w.close()
+        outs[tag] = p.read_bytes()
+    assert outs["native"] == outs["numpy"]
+
+
 def test_reg2bin():
     from soap3dp_tpu.io.succinct import reg2bin
 
