@@ -51,7 +51,7 @@ SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 200_000))
 
 
 def get_index(genome_bp: int, sa_rate: int, lut_k: int):
-    from soap3dp_tpu.index.builder import build_index, load_index, save_index
+    from soap3dp_tpu.index.builder import build_index_to, load_index
     from soap3dp_tpu.index.packing import PackedGenome
     from soap3dp_tpu.utils import dna
 
@@ -74,8 +74,9 @@ def get_index(genome_bp: int, sa_rate: int, lut_k: int):
         codes=codes, pac=dna.pack_codes(codes), length=genome_bp,
         names=["synth1"], offsets=np.asarray([0, genome_bp], np.uint64),
         amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    index = build_index(genome, sa_rate=sa_rate, lut_k=lut_k)
-    save_index(index, path)
+    # resumable per-stage build: an interrupted hour-class build picks
+    # up after its last completed stage (build_state.json in the dir)
+    index = build_index_to(genome, path, sa_rate=sa_rate, lut_k=lut_k)
     print(f"[bench] index built in {time.time() - t0:.0f}s", file=sys.stderr)
     return index, np.load(codes_path, mmap_mode="r")
 

@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ini", default=None,
                     help="builder ini (soap3-dp-builder.ini analog: "
                          "SaValueFreq key)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="discard any partial build state and start clean "
+                         "(by default an interrupted build resumes after "
+                         "its last completed stage)")
     args = ap.parse_args(argv)
 
     # layered config like the reference: ini then argv
@@ -43,7 +47,7 @@ def main(argv=None) -> int:
         except (configparser.Error, ValueError):
             pass
 
-    from soap3dp_tpu.index.builder import build_index, save_index
+    from soap3dp_tpu.index.builder import build_index_to
     from soap3dp_tpu.index.packing import pack_fasta
 
     t0 = time.time()
@@ -51,9 +55,11 @@ def main(argv=None) -> int:
     genome = pack_fasta(args.fasta)
     print(f"[builder] {genome.length} bp in {len(genome.names)} sequence(s); "
           f"building index", file=sys.stderr)
-    index = build_index(genome, sa_rate=args.sa_rate, lut_k=args.lut_k)
     out = f"{args.fasta}.index.t3i"
-    save_index(index, out)
+    # per-stage checkpointed build: an interrupted whole-genome build
+    # (hour-class) resumes instead of restarting (SURVEY.md section 5)
+    build_index_to(genome, out, sa_rate=args.sa_rate, lut_k=args.lut_k,
+                   resume=not args.no_resume)
     print(f"[builder] wrote {out} in {time.time() - t0:.1f}s", file=sys.stderr)
     return 0
 

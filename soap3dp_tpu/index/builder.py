@@ -331,3 +331,157 @@ def load_index(path: str | os.PathLike) -> Index:
 
 def build_index_from_fasta(fasta_path: str | os.PathLike, **kwargs) -> Index:
     return build_index(pack_fasta(fasta_path), **kwargs)
+
+
+# ------------------------------------------------------------------
+# Resumable per-stage build. A whole-genome build is an hour-class
+# job (3.1 Gbp SA-IS ~= 69 min single-core), so each stage persists
+# its artifacts into the destination directory as it completes and a
+# re-run resumes after the last finished stage. SURVEY.md section 5
+# calls for exactly this (the reference has no build resume at all;
+# its analog is that the built index is the persistent artifact,
+# BGS-Build.cpp:199-211 — we extend persistence to the build itself).
+# ------------------------------------------------------------------
+
+_STATE_FILE = "build_state.json"
+_SA_TMP = "sa.tmp.npy"
+
+
+def _genome_fingerprint(genome: PackedGenome, sa_rate: int, lut_k: int) -> dict:
+    """Cheap identity check so a resume never mixes two genomes/configs."""
+    import zlib
+    c = genome.codes
+    head = zlib.crc32(np.ascontiguousarray(c[:1_000_000]).tobytes())
+    tail = zlib.crc32(np.ascontiguousarray(c[-1_000_000:]).tobytes())
+    return {"n": int(genome.length), "sa_rate": int(sa_rate),
+            "lut_k": int(lut_k), "crc_head": head, "crc_tail": tail}
+
+
+def build_index_to(
+    genome: PackedGenome,
+    path: str | os.PathLike,
+    sa_rate: int = 8,
+    lut_k: int | None = None,
+    resume: bool = True,
+) -> Index:
+    """Build an index directly into ``path`` with per-stage checkpoints.
+
+    Stages (each skipped on resume if its artifacts already exist and
+    the recorded genome fingerprint matches):
+
+      sa        suffix array (SA-IS; the dominant cost) -> sa.tmp.npy
+      fm        BWT + counts + flat occ/word tables -> counts/occ/bwt.npy
+      sampling  value-sampled SA + mark bitvector -> mark_*/sa_samples.npy
+      lut       k-mer interval table -> lut_lo/lut_hi.npy
+      finish    pac/offsets/ambiguity + meta.json; removes sa.tmp.npy
+
+    Returns the finished index (mmap-loaded). ``resume=False`` discards
+    any partial state and starts clean.
+    """
+    import sys
+    import time
+
+    n = genome.length
+    if lut_k is None:
+        lut_k = 13 if n >= 1_000_000 else max(2, min(8, int(np.log2(max(n, 16))) // 2))
+    os.makedirs(path, exist_ok=True)
+    state_path = os.path.join(path, _STATE_FILE)
+    if os.path.exists(os.path.join(path, "meta.json")) and not os.path.exists(state_path):
+        return load_index(path)  # already complete
+
+    fp = _genome_fingerprint(genome, sa_rate, lut_k)
+    state: dict = {"fingerprint": fp, "done": []}
+    if resume and os.path.exists(state_path):
+        try:
+            with open(state_path) as fh:
+                prev = json.load(fh)
+            if prev.get("fingerprint") == fp:
+                state = prev
+        except (json.JSONDecodeError, OSError):
+            pass  # unreadable state: start clean
+
+    verbose = bool(os.environ.get("SOAP3DP_BUILD_VERBOSE")) or n > 500_000_000
+    t0 = time.time()
+
+    def _log(msg: str) -> None:
+        if verbose:
+            print(f"[build +{time.time() - t0:6.0f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    def _mark(stage: str) -> None:
+        state["done"].append(stage)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, state_path)
+
+    def _save(name: str, arr: np.ndarray) -> None:
+        np.save(os.path.join(path, f"{name}.npy"), arr)
+
+    codes = genome.codes
+    sa_path = os.path.join(path, _SA_TMP)
+
+    if "sa" not in state["done"]:
+        _log(f"stage sa: suffix array ({n / 1e6:.0f} Mbp)...")
+        sa = suffix_array(codes)
+        np.save(sa_path, sa)
+        del sa
+        _mark("sa")
+    sa = np.load(sa_path, mmap_mode="r")
+
+    if "fm" not in state["done"]:
+        _log("stage fm: bwt + occ/word tables...")
+        bwt, primary = bwt_from_sa(codes, np.asarray(sa))
+        base_counts = np.bincount(codes, minlength=4).astype(np.uint64)
+        counts = np.zeros(5, dtype=np.uint32)
+        counts[0] = 1
+        counts[1:] = (1 + np.cumsum(base_counts)).astype(np.uint32)
+        occ, bwt_words = _build_fm_tables(bwt, n)
+        del bwt
+        _save("counts", counts)
+        _save("occ", occ)
+        _save("bwt", bwt_words)
+        del occ, bwt_words
+        state["primary"] = primary
+        _mark("fm")
+
+    if "sampling" not in state["done"]:
+        _log("stage sampling: value-sampled SA...")
+        mark_rank, mark_words, sa_samples = _build_sa_sampling(
+            np.asarray(sa), n, sa_rate)
+        _save("mark_rank", mark_rank)
+        _save("mark_words", mark_words)
+        _save("sa_samples", sa_samples)
+        del mark_rank, mark_words, sa_samples
+        _mark("sampling")
+
+    if "lut" not in state["done"]:
+        _log(f"stage lut (k={lut_k})...")
+        lut_lo, lut_hi = _build_lut(codes, sa, lut_k)
+        _save("lut_lo", lut_lo)
+        _save("lut_hi", lut_hi)
+        del lut_lo, lut_hi
+        _mark("lut")
+    del sa
+
+    _log("stage finish: genome tables + meta...")
+    _save("pac", np.concatenate(
+        [genome.pac, np.zeros(PAC_PAD_WORDS, dtype=np.uint32)]))
+    _save("offsets", genome.offsets)
+    amb_starts, amb_ends = genome.excluded_region_mask()
+    _save("amb_starts", amb_starts)
+    _save("amb_ends", amb_ends)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "n": n,
+        "primary": int(state["primary"]),
+        "sa_rate": sa_rate,
+        "lut_k": lut_k,
+        "names": genome.names,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    os.remove(sa_path)
+    os.remove(state_path)
+    _log("done")
+    return load_index(path)

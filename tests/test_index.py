@@ -225,3 +225,74 @@ def test_ambiguity_regions(rng):
     assert len(starts) == 1 and starts[0] == 500 and ends[0] == 525
     # N encoded as G
     assert np.all(g.codes[500:525] == dna.G)
+
+
+def test_resumable_build_matches_clean(tmp_path, rng, monkeypatch):
+    """build_index_to checkpoints each stage: an interrupted build
+    resumes after its last completed stage without recomputing the
+    suffix array, and the resumed index equals a clean build
+    (SURVEY.md section 5: index build resumable per-stage)."""
+    import soap3dp_tpu.index.builder as bmod
+    from soap3dp_tpu.index.builder import build_index, build_index_to
+
+    genome = make_genome(rng, 5_000, num_chrom=2, n_run=(1200, 40))
+    clean = build_index(genome, sa_rate=4, lut_k=5)
+
+    # interrupt the first build mid-way: the lut stage raises
+    boom = RuntimeError("simulated interruption")
+    real_lut = bmod._build_lut
+    monkeypatch.setattr(bmod, "_build_lut",
+                        lambda *a, **k: (_ for _ in ()).throw(boom))
+    with pytest.raises(RuntimeError):
+        build_index_to(genome, tmp_path / "idx", sa_rate=4, lut_k=5)
+    assert (tmp_path / "idx" / "build_state.json").exists()
+    assert (tmp_path / "idx" / "sa.tmp.npy").exists()
+    assert not (tmp_path / "idx" / "meta.json").exists()
+
+    # resume: the sa/fm/sampling stages must NOT rerun
+    monkeypatch.setattr(bmod, "_build_lut", real_lut)
+    for name in ("suffix_array", "bwt_from_sa", "_build_fm_tables",
+                 "_build_sa_sampling"):
+        monkeypatch.setattr(
+            bmod, name, lambda *a, _n=name, **k: (_ for _ in ()).throw(
+                AssertionError(f"{_n} reran on resume")))
+    resumed = build_index_to(genome, tmp_path / "idx", sa_rate=4, lut_k=5)
+    assert not (tmp_path / "idx" / "build_state.json").exists()
+    assert not (tmp_path / "idx" / "sa.tmp.npy").exists()
+
+    for field in ("occ", "bwt", "mark_rank", "mark_words", "sa_samples",
+                  "lut_lo", "lut_hi", "pac", "counts", "offsets",
+                  "amb_starts", "amb_ends"):
+        assert np.array_equal(np.asarray(getattr(resumed, field)),
+                              np.asarray(getattr(clean, field))), field
+    assert resumed.primary == clean.primary
+    assert resumed.n == clean.n
+
+    # a finished directory loads straight back (idempotent re-invoke)
+    again = build_index_to(genome, tmp_path / "idx", sa_rate=4, lut_k=5)
+    assert np.array_equal(np.asarray(again.occ), np.asarray(clean.occ))
+
+
+def test_resumable_build_rejects_mismatched_genome(tmp_path, rng, monkeypatch):
+    """A partial build for genome A must not be resumed with genome B:
+    the fingerprint mismatch discards the stale state."""
+    import soap3dp_tpu.index.builder as bmod
+    from soap3dp_tpu.index.builder import build_index, build_index_to
+
+    g1 = make_genome(rng, 4_000)
+    g2 = make_genome(rng, 4_000)
+
+    boom = RuntimeError("simulated interruption")
+    real = bmod._build_sa_sampling
+    monkeypatch.setattr(bmod, "_build_sa_sampling",
+                        lambda *a, **k: (_ for _ in ()).throw(boom))
+    with pytest.raises(RuntimeError):
+        build_index_to(g1, tmp_path / "idx", sa_rate=4, lut_k=5)
+    monkeypatch.setattr(bmod, "_build_sa_sampling", real)
+
+    # resuming with a different genome rebuilds from scratch
+    out = build_index_to(g2, tmp_path / "idx", sa_rate=4, lut_k=5)
+    clean2 = build_index(g2, sa_rate=4, lut_k=5)
+    assert np.array_equal(np.asarray(out.sa_samples),
+                          np.asarray(clean2.sa_samples))
+    assert out.primary == clean2.primary
