@@ -69,8 +69,21 @@ def _merge_summary(total, hosts: int) -> None:
     print(f"[soap3dp] global (all {hosts} hosts): {merged}", file=sys.stderr)
 
 
+def _hbm_budget():
+    """Per-device HBM byte limit when the backend reports one (leave
+    ~20% headroom for batch arrays), else None (reactive ladder only)."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        return int(limit * 0.8) if limit else None
+    except Exception:  # noqa: BLE001 — backends without memory_stats
+        return None
+
+
 def _load(index_arg: str, devices: int = 1, local_only: bool = False):
-    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.fm.fmindex import device_index_ladder
     from soap3dp_tpu.index.builder import load_index
     from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -80,7 +93,9 @@ def _load(index_arg: str, devices: int = 1, local_only: bool = False):
     t0 = time.time()
     index = load_index(path)
     if devices == 1:
-        didx = device_index(index)
+        # degradation ladder: on device OOM the SA re-samples coarser
+        # until the index fits (the reference's tryAlloc analog)
+        didx, index = device_index_ladder(index, hbm_budget=_hbm_budget())
     else:
         # multi-chip: replicate the index into every chip's HBM and let
         # every pipeline stage shard its batches over the mesh
@@ -111,6 +126,43 @@ def _fix_quals(opts, *batches):
             nz = b.quals != 0
             b.quals[nz] = np.maximum(b.quals[nz].astype(np.int16) - 31,
                                      33).astype(b.quals.dtype)
+
+
+def _slice_batch(b, sl: slice):
+    from soap3dp_tpu.io.fastq import ReadBatch
+
+    return ReadBatch(names=b.names[sl], codes=b.codes[sl], lens=b.lens[sl],
+                     quals=None if b.quals is None else b.quals[sl])
+
+
+def _align_backoff(align_one, summary_cls, batches, min_reads=1024,
+                   pending=None):
+    """Align one batch; on device OOM, halve and retry (recursively).
+
+    The batch-level rung of the degradation ladder (the reference
+    degrades GPU DP block counts the same way, tryAlloc
+    DV-DPfunctions.cu:554-612): a batch too big for the device's free
+    HBM is split until it fits, with a floor of ``min_reads``.
+    ``pending`` (an already-dispatched search) is only usable by the
+    full-size attempt; halves re-dispatch.
+    """
+    from soap3dp_tpu.fm.fmindex import is_oom_error
+
+    n = len(batches[0].names)
+    try:
+        return align_one(*batches, pending)
+    except Exception as e:  # noqa: BLE001 — only OOM is handled
+        if not is_oom_error(e) or n <= min_reads:
+            raise
+    mid = n // 2
+    print(f"[soap3dp] device OOM on a {n}-read batch; retrying as "
+          f"2 x {mid}", file=sys.stderr)
+    s = summary_cls()
+    for sl in (slice(0, mid), slice(mid, None)):
+        s.add(_align_backoff(align_one, summary_cls,
+                             tuple(_slice_batch(b, sl) for b in batches),
+                             min_reads=min_reads))
+    return s
 
 
 def _writer(opts, index, path):
@@ -159,8 +211,10 @@ def run_single(args) -> int:
             w.poll()  # stop aligning as soon as output is failing
             t0 = time.time()
             _fix_quals(opts, batch)
-            s = align_single_batch(index, didx, batch, opts, w,
-                                   salvage_queue=sq)
+            s = _align_backoff(
+                lambda b, _p: align_single_batch(index, didx, b, opts, w,
+                                                 salvage_queue=sq),
+                BatchSummary, (batch,))
             total.add(s)
             if sq.should_flush():
                 total.add(sq.flush(w))
@@ -217,8 +271,11 @@ def run_pair(args) -> int:
                 _fix_quals(opts, *nxt)
             nxt_pending = dispatch_pair_search(didx, *nxt, opts) if nxt else None
             t0 = time.time()
-            s = align_pair_batch(index, didx, b1, b2, opts, w,
-                                 pending_search=pending, rescue_queue=rq)
+            s = _align_backoff(
+                lambda x1, x2, p: align_pair_batch(index, didx, x1, x2, opts,
+                                                   w, pending_search=p,
+                                                   rescue_queue=rq),
+                PairSummary, (b1, b2), pending=pending)
             total.add(s)
             if rq.should_flush() or nxt is None:
                 qn = rq.pending

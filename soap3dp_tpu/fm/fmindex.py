@@ -93,6 +93,68 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
     )
 
 
+def is_oom_error(exc: BaseException) -> bool:
+    """True for an XLA device-memory exhaustion error (any backend)."""
+    msg = str(exc).upper()
+    return ("RESOURCE_EXHAUSTED" in msg or "OUT OF MEMORY" in msg
+            or "OOM" in msg.split() or "ALLOCATION FAILURE" in msg)
+
+
+def index_hbm_bytes(index: Index) -> int:
+    """Estimated HBM footprint of device_index(index)."""
+    total = 0
+    for name in ("occ", "bwt", "mark_rank", "mark_words", "sa_samples",
+                 "counts", "pac", "lut_lo", "lut_hi"):
+        total += int(np.asarray(getattr(index, name)).nbytes)
+    return total
+
+
+def device_index_ladder(index: Index, sharding=None,
+                        hbm_budget: int | None = None,
+                        max_rate: int = 256) -> tuple[DeviceIndex, Index]:
+    """Upload with a degradation ladder: on device OOM (or a predicted
+    over-budget upload), re-sample the SA to double the rate — halving
+    the biggest degradable table — and retry, up to ``max_rate``.
+
+    The TPU analog of the reference's tryAlloc ladder, which walks GPU
+    DP block counts {64,48,32,16,8,2} down until allocation succeeds
+    (DV-DPfunctions.cu:554-612): correctness is preserved, throughput
+    degrades gracefully, and the run proceeds instead of aborting.
+
+    Returns (device index, possibly-resampled host index). hbm_budget
+    (bytes) enables the proactive check; without it the ladder is
+    purely reactive to allocation failures.
+    """
+    import sys
+
+    from soap3dp_tpu.index.builder import resample_sa
+
+    while True:
+        try:
+            if hbm_budget is not None and index_hbm_bytes(index) > hbm_budget:
+                raise MemoryError(
+                    f"predicted RESOURCE_EXHAUSTED: index needs "
+                    f"{index_hbm_bytes(index) / 1e9:.2f} GB of "
+                    f"{hbm_budget / 1e9:.2f} GB HBM")
+            didx = device_index(index, sharding=sharding)
+            jax.block_until_ready(didx.occ)
+            return didx, index
+        except (MemoryError, Exception) as e:  # noqa: BLE001 — see below
+            # XlaRuntimeError's concrete class moved across jaxlib
+            # versions; recognize OOM by content, re-raise the rest
+            if not (isinstance(e, MemoryError) or is_oom_error(e)):
+                raise
+            if index.sa_rate >= max_rate:
+                raise
+            new_rate = index.sa_rate * 2
+            print(f"[soap3dp] device OOM uploading index "
+                  f"(sa_rate={index.sa_rate}); degrading to "
+                  f"sa_rate={new_rate} "
+                  f"(~{index_hbm_bytes(index) / 1e9:.2f} GB -> retry)",
+                  file=sys.stderr)
+            index = resample_sa(index, new_rate)
+
+
 # ------------------------------------------------------------------
 # Occ queries
 # ------------------------------------------------------------------

@@ -333,6 +333,47 @@ def build_index_from_fasta(fasta_path: str | os.PathLike, **kwargs) -> Index:
     return build_index(pack_fasta(fasta_path), **kwargs)
 
 
+def resample_sa(index: Index, new_rate: int) -> Index:
+    """Re-sample the value-sampled SA to a coarser rate, host-side.
+
+    Keeps only samples whose SA value is a multiple of ``new_rate`` and
+    rebuilds the mark bitvector + rank directory. The decode walk bound
+    grows to ``new_rate`` but memory halves per doubling — this is the
+    degradation ladder the OOM fallback climbs (the analog of the
+    reference's SaValueFreq 1/2/4 memory plan, README.md section 2.1,
+    and its tryAlloc block-count ladder, DV-DPfunctions.cu:554-612).
+    """
+    if new_rate == index.sa_rate:
+        return index
+    if new_rate % index.sa_rate or new_rate & (new_rate - 1):
+        raise ValueError(
+            f"new_rate {new_rate} must be a power-of-two multiple of the "
+            f"current rate {index.sa_rate}")
+    samples = np.asarray(index.sa_samples)
+    keep = (samples % np.uint32(new_rate)) == 0
+    new_samples = samples[keep]
+
+    # marked rows ascend with sample order, so the kept-row set is the
+    # current marked-row set filtered by `keep`
+    words = np.asarray(index.mark_words)
+    nmw = len(words)
+    bits = ((words[:, None] >> np.arange(MARK_INTERVAL, dtype=np.uint32)[None, :])
+            & 1).astype(bool).reshape(-1)
+    rows = np.flatnonzero(bits)
+    kept_rows = rows[keep]
+    bits[:] = False
+    bits[kept_rows] = True
+    lanes = bits.reshape(nmw, MARK_INTERVAL).astype(np.uint32)
+    new_words = np.bitwise_or.reduce(
+        lanes << np.arange(MARK_INTERVAL, dtype=np.uint32)[None, :], axis=1)
+    per_word = lanes.sum(axis=1, dtype=np.uint32)
+    new_rank = np.zeros(nmw, dtype=np.uint32)
+    np.cumsum(per_word[:-1], out=new_rank[1:])
+    return dataclasses.replace(
+        index, sa_rate=new_rate, sa_samples=new_samples,
+        mark_words=new_words.astype(np.uint32), mark_rank=new_rank)
+
+
 # ------------------------------------------------------------------
 # Resumable per-stage build. A whole-genome build is an hour-class
 # job (3.1 Gbp SA-IS ~= 69 min single-core), so each stage persists
