@@ -182,6 +182,19 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin over [beg, end) arrays."""
+    beg = np.asarray(beg, np.int64)
+    e = np.asarray(end, np.int64) - 1
+    out = np.zeros(len(beg), np.int32)
+    done = np.zeros(len(beg), bool)
+    for shift, off in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        hit = ~done & ((beg >> shift) == (e >> shift))
+        out[hit] = off + (beg[hit] >> shift)
+        done |= hit
+    return out
+
+
 def _bgzf_block(payload: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()
@@ -277,6 +290,127 @@ class BamWriter:
         body += struct.pack(f"<{len(cig)}I", *cig)
         body += bytes(packed) + qdata + bytes(aux)
         self._emit(struct.pack("<i", len(body)) + body)
+
+    def write_block(self, names, flags, chroms, poss, mapqs, cigars, nms, *,
+                    mate_chroms=None, mate_poss=None, tlens=None,
+                    seq_codes=None, seq_lens=None, quals=None,
+                    tags=None) -> None:
+        """Columnar bulk write of N gapless mapped records straight to
+        BAM binary — no SAM-text round trip. Byte-identical to the
+        per-record ``write`` path (the test asserts this), assembled
+        with vectorized numpy scatters like the succinct/SAM block
+        writers. cigars are single-op ``<len>M`` entries (the fast
+        path guarantees gapless); seq_codes is the FORWARD 2-bit code
+        matrix, reverse-flagged rows are flipped+complemented in bulk.
+        """
+        N = len(names)
+        if N == 0:
+            return
+        del nms  # NM only appears on the -p slow path, as in SAM
+        flags = np.asarray(flags, np.int64)
+        chroms = np.asarray(chroms, np.int32)
+        poss = np.asarray(poss, np.int64)
+        lens_a = np.asarray(seq_lens, np.int64)
+        L = seq_codes.shape[1]
+
+        qlen = np.fromiter((len(n) for n in names), np.int64, N)
+        sb = (lens_a + 1) // 2               # packed-seq bytes
+        aux_n = 35 if tags is not None else 0
+        # 4 block_size + 32 fixed + name+NUL + one cigar op + seq + qual
+        rec_len = 4 + 32 + qlen + 1 + 4 + sb + lens_a + aux_n
+        off = np.zeros(N + 1, np.int64)
+        np.cumsum(rec_len, out=off[1:])
+        buf = np.zeros(off[-1], np.uint8)
+        o = off[:-1]
+
+        def put_u16(pos, val):
+            v = np.asarray(val).astype(np.uint16)
+            buf[pos] = (v & 0xFF).astype(np.uint8)
+            buf[pos + 1] = (v >> 8).astype(np.uint8)
+
+        def put_u32(pos, val):
+            v = np.asarray(val).astype(np.int64).astype(np.uint32)
+            for k in range(4):
+                buf[pos + k] = ((v >> (8 * k)) & 0xFF).astype(np.uint8)
+
+        put_u32(o, rec_len - 4)                       # block_size
+        put_u32(o + 4, chroms)                        # refID
+        put_u32(o + 8, poss)                          # pos
+        buf[o + 12] = (qlen + 1).astype(np.uint8)     # l_read_name
+        buf[o + 13] = np.asarray(mapqs, np.uint8)
+        put_u16(o + 14, reg2bin_vec(poss, poss + np.maximum(lens_a, 1)))
+        put_u16(o + 16, np.ones(N, np.uint16))        # n_cigar_op
+        put_u16(o + 18, flags)
+        put_u32(o + 20, lens_a)                       # l_seq
+        if mate_chroms is None:                       # single-end records
+            mc = np.full(N, -1, np.int64)
+            mposs = np.full(N, -1, np.int64)
+            tlens = np.zeros(N, np.int64)
+        else:
+            mc = np.asarray(mate_chroms, np.int64)
+            mposs = np.asarray(mate_poss, np.int64)
+        put_u32(o + 24, mc)
+        put_u32(o + 28, np.where(mc >= 0, mposs, -1))
+        put_u32(o + 32, np.asarray(tlens, np.int64))
+
+        # ragged name copy + NUL terminator (already zero-filled)
+        src = np.frombuffer(b"".join(names), np.uint8)
+        dst = np.repeat(o + 36, qlen) + (np.arange(len(src))
+                                         - np.repeat(np.concatenate(
+                                             ([0], np.cumsum(qlen)[:-1])), qlen))
+        buf[dst] = src
+        co = o + 36 + qlen + 1
+        put_u32(co, (lens_a << 4))                    # one M op
+
+        # oriented 2-bit codes -> 4-bit nybbles -> byte pairs
+        rev = ((flags & FLAG_REVERSE) != 0)[:, None]
+        i = np.arange(L, dtype=np.int64)[None, :]
+        in_read = i < lens_a[:, None]
+        if (lens_a == L).all():
+            oc = np.where(rev, seq_codes[:, ::-1], seq_codes)
+            qsrc = None
+        else:
+            qsrc = np.where(rev, np.clip(lens_a[:, None] - 1 - i, 0, L - 1), i)
+            oc = np.take_along_axis(np.asarray(seq_codes), qsrc, axis=1)
+        oc = np.where(rev, 3 - oc, oc)
+        nyb = np.where(in_read, np.uint8(1) << oc.astype(np.uint8), 0)
+        Le = L + (L & 1)
+        if Le != L:
+            nyb = np.concatenate([nyb, np.zeros((N, 1), np.uint8)], axis=1)
+        sbytes = (nyb.reshape(N, Le // 2, 2)[:, :, 0] << 4) \
+            | nyb.reshape(N, Le // 2, 2)[:, :, 1]
+        so = co + 4
+        smask = np.arange(Le // 2, dtype=np.int64)[None, :] < sb[:, None]
+        buf[np.repeat(so, sb) + (np.arange(int(sb.sum()))
+                                 - np.repeat(np.concatenate(
+                                     ([0], np.cumsum(sb)[:-1])), sb))] \
+            = sbytes[smask]
+
+        qo = so + sb
+        if quals is None:
+            qbytes = np.full((N, L), 0xFF, np.uint8)
+        else:
+            q = np.asarray(quals)
+            qm = (np.where(rev, q[:, ::-1], q) if qsrc is None
+                  else np.take_along_axis(q, qsrc, axis=1))
+            qbytes = (qm - 33).astype(np.uint8)
+        qmask = np.arange(L, dtype=np.int64)[None, :] < lens_a[:, None]
+        buf[np.repeat(qo, lens_a) + (np.arange(int(lens_a.sum()))
+                                     - np.repeat(np.concatenate(
+                                         ([0], np.cumsum(lens_a)[:-1])),
+                                         lens_a))] = qbytes[qmask]
+
+        if tags is not None:
+            x0, x1, xm = (np.asarray(t, np.int64) for t in tags)
+            ao = qo + lens_a
+            tmpl = np.frombuffer(
+                b"X0i\0\0\0\0X1i\0\0\0\0XMi\0\0\0\0XOi\0\0\0\0XGi\0\0\0\0",
+                np.uint8)
+            buf[ao[:, None] + np.arange(35, dtype=np.int64)[None, :]] = tmpl
+            put_u32(ao + 3, x0)
+            put_u32(ao + 10, x1)
+            put_u32(ao + 17, xm)
+        self._emit(buf.tobytes())
 
     def close(self):
         if self._buf:

@@ -401,3 +401,135 @@ def test_reg2bin():
     assert reg2bin(0, (1 << 14) + 1) == 585
     assert reg2bin(0, (1 << 26) + 1) == 0
     assert reg2bin(9_000_000, 9_000_100) == 4681 + (9_000_000 >> 14)
+
+
+def test_bam_block_writer_matches_per_record(tmp_path, small_index,
+                                             small_device_index,
+                                             small_genome, rng):
+    """The columnar BAM write_block path emits byte-identical binary to
+    the per-record SamRecord path (no SAM-text round trip)."""
+    import numpy as np
+    from soap3dp_tpu.io.fastq import ReadBatch
+    from soap3dp_tpu.io.succinct import BamWriter
+    from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.pair import align_pair_batch
+
+    codes = small_genome.codes
+    L, insert, n = 40, 120, 25
+    pos = rng.integers(0, len(codes) - insert - 1, n)
+    left = np.stack([codes[p:p + L] for p in pos])
+    right = np.stack([(3 - codes[p + insert - L:p + insert])[::-1]
+                      for p in pos])
+    left[0, 5] = (left[0, 5] + 1) % 4
+    quals = rng.integers(33, 73, (n, L)).astype(np.uint8)
+    names = [b"q%d" % i for i in range(n)]
+    lens = np.full(n, L, np.int32)
+    opts = AlignOptions(min_insert=60, max_insert=240)
+
+    class SlowBam(BamWriter):
+        write_block = property()  # hide: hasattr() -> AttributeError
+
+    for q in (quals, None):
+        out = {}
+        for cls, tag in ((BamWriter, "fast"), (SlowBam, "slow")):
+            b1 = ReadBatch(names, np.ascontiguousarray(left), lens,
+                           None if q is None else q.copy())
+            b2 = ReadBatch(names, np.ascontiguousarray(right), lens.copy(),
+                           None if q is None else q.copy())
+            p = tmp_path / f"{tag}.bam"
+            w = cls(str(p), small_index)
+            align_pair_batch(small_index, small_device_index, b1, b2, opts, w)
+            w.close()
+            out[tag] = p.read_bytes()
+        assert out["fast"] == out["slow"], \
+            f"BAM block path diverges (quals={'yes' if q is not None else 'no'})"
+
+
+def test_bam_block_writer_ragged_lengths(tmp_path, small_index, rng):
+    """Direct write_block with per-record lengths (odd + even) and
+    reverse flags matches the per-record path byte for byte."""
+    import numpy as np
+    from soap3dp_tpu.io.sam import FLAG_REVERSE, SamRecord
+    from soap3dp_tpu.io.succinct import BamWriter
+    from soap3dp_tpu.utils import dna
+
+    n, L = 12, 21
+    lens = rng.integers(11, L + 1, n).astype(np.int64)
+    codes = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    codes[np.arange(L)[None, :] >= lens[:, None]] = 0
+    quals = rng.integers(33, 73, (n, L)).astype(np.uint8)
+    flags = np.where(np.arange(n) % 2 == 0, 0x63, 0x53).astype(np.int64)
+    poss = rng.integers(0, 5_000_000, n).astype(np.int64)
+    names = [b"rg%d" % i for i in range(n)]
+    x0 = rng.integers(1, 5, n)
+    x1 = rng.integers(0, 3, n)
+    xm = rng.integers(0, 3, n)
+
+    p1, p2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    w1 = BamWriter(str(p1), small_index)
+    for i in range(n):
+        li = int(lens[i])
+        w1.write(SamRecord(
+            qname=names[i], flag=int(flags[i]), chrom=0, pos=int(poss[i]),
+            mapq=37, cigar=f"{li}M",
+            seq=dna.decode(codes[i, :li]),
+            qual=bytes(quals[i, :li]),
+            mate_chrom=0, mate_pos=int(poss[i]) + 50, tlen=71,
+            tags=[f"X0:i:{x0[i]}", f"X1:i:{x1[i]}", f"XM:i:{xm[i]}",
+                  "XO:i:0", "XG:i:0"]))
+    w1.close()
+
+    w2 = BamWriter(str(p2), small_index)
+    w2.write_block(
+        names, flags, np.zeros(n, np.int32), poss,
+        np.full(n, 37, np.uint8),
+        [b"%dM" % l for l in lens], np.zeros(n, np.int32),
+        mate_chroms=np.zeros(n, np.int32), mate_poss=poss + 50,
+        tlens=np.full(n, 71, np.int64),
+        seq_codes=codes, seq_lens=lens, quals=quals,
+        tags=(x0, x1, xm))
+    w2.close()
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_reg2bin_vec_matches_scalar(rng):
+    from soap3dp_tpu.io.succinct import reg2bin, reg2bin_vec
+
+    beg = np.concatenate([
+        rng.integers(0, 1 << 28, 500),
+        np.asarray([0, 1, (1 << 14) - 1, 1 << 14, (1 << 17) - 2, 1 << 26])])
+    end = beg + np.concatenate([rng.integers(1, 300, 500),
+                                np.asarray([1, 100, 3, 2, 4, 1])])
+    vec = reg2bin_vec(beg, end)
+    for i in range(len(beg)):
+        assert vec[i] == reg2bin(int(beg[i]), int(end[i])), i
+
+
+def test_bam_block_writer_single_end(tmp_path, small_index, rng):
+    """Single-end block writes (no mate columns) match the per-record
+    path: next_refID/-pos = -1, tlen = 0."""
+    from soap3dp_tpu.io.sam import SamRecord
+    from soap3dp_tpu.io.succinct import BamWriter
+    from soap3dp_tpu.utils import dna
+
+    n, L = 8, 16
+    codes = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    poss = rng.integers(0, 1_000_000, n).astype(np.int64)
+    names = [b"s%d" % i for i in range(n)]
+
+    p1, p2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    w1 = BamWriter(str(p1), small_index)
+    for i in range(n):
+        w1.write(SamRecord(
+            qname=names[i], flag=0, chrom=0, pos=int(poss[i]), mapq=23,
+            cigar=f"{L}M", seq=dna.decode(codes[i]), qual=None,
+            tags=["X0:i:1", "X1:i:0", "XM:i:0", "XO:i:0", "XG:i:0"]))
+    w1.close()
+    w2 = BamWriter(str(p2), small_index)
+    w2.write_block(names, np.zeros(n, np.int64), np.zeros(n, np.int32),
+                   poss, np.full(n, 23, np.uint8), [b"%dM" % L] * n,
+                   np.zeros(n, np.int32), seq_codes=codes,
+                   seq_lens=np.full(n, L, np.int64),
+                   tags=(np.ones(n), np.zeros(n), np.zeros(n)))
+    w2.close()
+    assert p1.read_bytes() == p2.read_bytes()
