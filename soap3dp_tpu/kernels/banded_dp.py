@@ -475,6 +475,18 @@ def _traceback_scan(
     return opseq, meta
 
 
+@jax.jit
+def _gather_opseq_rows(opseq, idx):
+    """(ND, P) op sequence -> (len(idx), ND) rows, one executable
+    (eager transpose+gather dispatched ~6 tiny executables)."""
+    return jnp.transpose(opseq)[idx]
+
+
+@jax.jit
+def _stack4(a, b, c, d):
+    return jnp.stack([a, b, c, d])
+
+
 def dp_traceback(
     dirs: jax.Array,     # (Lr+Lw, P, Lr+1) uint8 from dp_forward
     reads: jax.Array,    # (P, Lr) uint8 (interface compat; match bit is in dirs)
@@ -523,7 +535,7 @@ def dp_traceback(
     nb = min(shapes.bucket(len(pass_idx), min_size=256), P)
     idx_pad = pass_idx if len(pass_idx) >= nb else \
         np.pad(pass_idx, (0, nb - len(pass_idx)))
-    sub = np.asarray(jnp.transpose(opseq)[jnp.asarray(idx_pad[:nb])])
+    sub = np.asarray(_gather_opseq_rows(opseq, jnp.asarray(idx_pad[:nb])))
     S = sub[: len(pass_idx), ::-1]                    # (npass, ND) emission order
     rclip = (rlens_h - hit_i_h)[pass_idx]
     ops_s, cnts_s, nrun_s = _rle_runs(
@@ -994,7 +1006,7 @@ def dp_align(
     fwd = _dp_forward_scan if mesh is not None else dp_forward
     bS, bI, bJ, bC, dirs = fwd(
         reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r, sc=sc)
-    stats = np.asarray(jnp.stack([bS, bI, bJ, bC]))
+    stats = np.asarray(_stack4(bS, bI, bJ, bC))
     score, hI, hJ, nbc = stats
     active = score >= np.asarray(cutoff)
     ops, cnts, nrun, startj = dp_traceback(

@@ -272,13 +272,23 @@ def seed_candidates(
     return Candidates(read=read, strand=strand, pos=posf)
 
 
-@partial(jax.jit, static_argnames=("O",))
-def _prescan_impl(oriented, rlens, wins, wlens, O: int):
+@partial(jax.jit, static_argnames=("O", "W"))
+def _prescan_impl(idx, reads_p, lens_rows, read_idx, strand, ws, rlens,
+                  wlens, O: int, W: int):
     """Cross-correlation mismatch counts: mm[m, o] = mismatches of
     read m placed gapless at window offset o. L shift-and-add steps of
     (M, O) byte compares — the vectorized form of the reference's
     packed XOR+popcount check-and-extend
-    (SRA2BWTCheckAndExtend.h:57-66)."""
+    (SRA2BWTCheckAndExtend.h:57-66).
+
+    Orientation + window extraction happen INSIDE the jit: as eager
+    ops they each dispatched ~15 tiny executables per flush, and on a
+    remote-relay backend every distinct executable load costs a
+    ~0.4s round trip at warmup."""
+    rc = fmindex.revcomp_reads(reads_p, lens_rows)
+    oriented = jnp.where(strand[:, None] == 1, rc[read_idx],
+                         reads_p[read_idx])
+    wins = fmindex.extract_genome(idx, ws, W).astype(jnp.uint8)
     M, Lr = oriented.shape
 
     def body(l, mm):
@@ -336,17 +346,24 @@ def gapless_prescan(
 
     lens_rows = np.zeros(Bp, np.int32)
     lens_rows[cand.read[:M_real]] = np.asarray(lens, np.int32)[:M_real]
-    rc = fmindex.revcomp_reads(jnp.asarray(reads_p),
-                               jnp.asarray(lens_rows, jnp.int32))
-    ridx = jnp.asarray(read_idx)
-    oriented = jnp.where(jnp.asarray(strand[:, None] == 1), rc[ridx],
-                         jnp.asarray(reads_p)[ridx])
-    wins = fmindex.extract_genome(
-        idx, jnp.asarray(ws, np.uint32),
-        O + ((L + 127) // 128) * 128).astype(jnp.uint8)
-    out = np.asarray(_prescan_impl(oriented, jnp.asarray(rl), wins,
-                                   jnp.asarray(wl), O))
+    out = np.asarray(_prescan_impl(
+        idx, reads_p, lens_rows, read_idx.astype(np.int32),
+        strand.astype(np.int8), ws.astype(np.uint32), rl, wl,
+        O, O + ((L + 127) // 128) * 128))
     return out[:M_real, 0], out[:M_real, 1], out[:M_real, 2]
+
+
+@partial(jax.jit, static_argnames=("un", "max_win"))
+def _pack_problems(idx, reads, lens, cread, strand_rev, win_start,
+                   un: int, max_win: int):
+    """Device pack of DP problems: orient reads per candidate strand and
+    extract the genome windows — fused into one executable (see the
+    warmup note on _prescan_impl)."""
+    rc = fmindex.revcomp_reads_uniform(reads, un) if un \
+        else fmindex.revcomp_reads(reads, lens)
+    oriented = jnp.where(strand_rev[:, None], rc[cread], reads[cread])
+    wins = fmindex.extract_genome(idx, win_start, max_win).astype(jnp.uint8)
+    return oriented, wins
 
 
 @dataclasses.dataclass
@@ -433,20 +450,18 @@ def run_banded_dp(
 
     with timers.stage("dp.pack"):
         # stays on device end to end: orientation, window extraction and
-        # the DP all consume HBM-resident arrays (no host round trip)
-        cread = dev(cand.read)
+        # the DP all consume HBM-resident arrays (no host round trip).
+        # One jit (_pack_problems) instead of eager jnp ops: each eager
+        # op is its own tiny executable whose warmup load costs a relay
+        # round trip
         lens_h = np.asarray(lens)
         un = int(lens_h[0]) if len(lens_h) and (lens_h == lens_h[0]).all() \
             else 0
-        rc = fmindex.revcomp_reads_uniform(jnp.asarray(reads), un) if un \
-            else fmindex.revcomp_reads(jnp.asarray(reads),
-                                       jnp.asarray(lens, jnp.int32))
-        oriented = jnp.where(
-            dev(cand.strand[:, None] == 1), rc[cread],
-            jnp.asarray(reads)[cread])
+        oriented, wins = _pack_problems(
+            idx, jnp.asarray(reads), jnp.asarray(lens_h, np.int32),
+            dev(cand.read), dev(cand.strand == 1),
+            dev(win_start, np.uint32), un, max_win)
         rlen = lens[cand.read].astype(np.int32)
-        wins = fmindex.extract_genome(
-            idx, dev(win_start, np.uint32), max_win).astype(jnp.uint8)
 
     with timers.stage("dp.align"):
         # fused forward + traceback: direction bytes stay in VMEM and the
