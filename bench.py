@@ -219,24 +219,29 @@ def main() -> int:
     profiles["main"] = run_profile("main", index40, codes40, succ,
                                    N_PAIRS, BATCH)
     if not os.environ.get("BENCH_MAIN_ONLY"):
-        index250, codes250 = get_index(250_000_000, sa_rate=4, lut_k=13)
+        # sa_rate=2 measured +10% over rate 4 at this scale (the decode
+        # walk halves); at 3.1 Gbp the rate-2 index is ~9.2 GB of 16 GB
+        # HBM (docs/SCALING.md)
+        index250, codes250 = get_index(250_000_000, sa_rate=2, lut_k=13)
         profiles["chr1_scale"] = run_profile(
             "chr1_scale", index250, codes250, succ, SCALE_PAIRS, BATCH)
         del index250, codes250
         profiles["sam_out"] = run_profile("sam_out", index40, codes40, samw,
                                           SCALE_PAIRS, BATCH)
-        # human-scale: 3.1 Gbp synthetic (one chip holds the whole index:
-        # fmi 1.16GB + SA(rate 4) 3.1GB + LUT 0.54GB + mark 0.48GB +
-        # pac 0.78GB ~= 6.1GB of 16GB HBM; docs/SCALING.md)
-        human_tag = f"synth{3_100_000_000}.sa4k13.t3i"
-        if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
-                or os.environ.get("BENCH_HUMAN")):
-            del index40, codes40
-            import gc
-            gc.collect()
-            indexh, codesh = get_index(3_100_000_000, sa_rate=4, lut_k=13)
-            profiles["human_scale"] = run_profile(
-                "human_scale", indexh, codesh, succ, SCALE_PAIRS, BATCH)
+        # human-scale: 3.1 Gbp synthetic; prefer the sa_rate=2 index,
+        # fall back to a cached rate-4 one
+        del index40, codes40
+        import gc
+        gc.collect()
+        for rate in (2, 4):
+            human_tag = f"synth{3_100_000_000}.sa{rate}k13.t3i"
+            if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
+                    or (rate == 2 and os.environ.get("BENCH_HUMAN"))):
+                indexh, codesh = get_index(3_100_000_000, sa_rate=rate,
+                                           lut_k=13)
+                profiles["human_scale"] = run_profile(
+                    "human_scale", indexh, codesh, succ, SCALE_PAIRS, BATCH)
+                break
 
     main_rate = profiles["main"]["reads_per_s"]
     print(json.dumps({

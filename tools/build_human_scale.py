@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HUMAN_BP = 3_100_000_000
-SA_RATE = 4
+SA_RATE = 2
 LUT_K = 13
 
 
