@@ -213,6 +213,16 @@ def align_pair_batch(
         with timers.stage("A.search"):
             h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg,
                                        pending=pending_search)
+        if (np.asarray(h1.flagged).any() or np.asarray(h2.flagged).any()):
+            # super-repetitive reads: complete host re-alignment (the
+            # reference's ProcessReadDoubleStrand2 analog) replaces the
+            # round-3 truncated sets
+            from soap3dp_tpu.fm import host_search
+            with timers.stage("A.host_realign"):
+                h1 = host_search.realign_flagged(index, h1, b1.codes,
+                                                 lens1, k)
+                h2 = host_search.realign_flagged(index, h2, b2.codes,
+                                                 lens2, k)
         with timers.stage("A.tables"):
             t1 = hits.hits_to_table(h1, B, index, lens1)
             t2 = hits.hits_to_table(h2, B, index, lens2)

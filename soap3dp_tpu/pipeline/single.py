@@ -78,6 +78,12 @@ def align_single_batch(
             start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
     else:
         raw = search_reads(didx, batch.codes, lens, SearchConfig(k=k))
+        if np.asarray(raw.flagged).any():
+            # complete host re-alignment of super-repetitive reads
+            # (ProcessReadDoubleStrand2 analog; see fm/host_search.py)
+            from soap3dp_tpu.fm import host_search
+            raw = host_search.realign_flagged(index, raw, batch.codes,
+                                              lens, k)
         table = hits.hits_to_table(raw, B, index, lens)
         summary.still_flagged += int(np.asarray(table.flagged).sum())
     stats = hits.read_stats(table, B)
