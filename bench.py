@@ -116,7 +116,11 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
 
     t0 = time.time()
     didx = device_index(index)
-    jax.block_until_ready(didx.occ)
+    # jax.block_until_ready does NOT actually block on the remote-relay
+    # backend (NEXT.md); a scalar device_get drains the transfer queue,
+    # so upload time is reported honestly here instead of bleeding into
+    # the warmup (compile) figure below
+    np.asarray(jax.device_get(didx.primary))
     print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
           file=sys.stderr)
 
@@ -214,36 +218,51 @@ def main() -> int:
     def samw(index):
         return AsyncWriter(SamWriter(os.path.join(CACHE, "bench.sam"), index))
 
+    # BENCH_ONLY=chr1_scale (or main/sam_out/human_scale, comma-separated)
+    # runs a subset — for profiling iteration; the driver runs all four
+    only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
+
+    def want(name):
+        return not only or name in only
+
     profiles = {}
-    index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
-    profiles["main"] = run_profile("main", index40, codes40, succ,
-                                   N_PAIRS, BATCH)
+    index40 = codes40 = None
+    if want("main") or want("sam_out"):
+        index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
+    if want("main"):
+        profiles["main"] = run_profile("main", index40, codes40, succ,
+                                       N_PAIRS, BATCH)
     if not os.environ.get("BENCH_MAIN_ONLY"):
-        # sa_rate=2 measured +10% over rate 4 at this scale (the decode
-        # walk halves); at 3.1 Gbp the rate-2 index is ~9.2 GB of 16 GB
-        # HBM (docs/SCALING.md)
-        index250, codes250 = get_index(250_000_000, sa_rate=2, lut_k=13)
-        profiles["chr1_scale"] = run_profile(
-            "chr1_scale", index250, codes250, succ, SCALE_PAIRS, BATCH)
-        del index250, codes250
-        profiles["sam_out"] = run_profile("sam_out", index40, codes40, samw,
-                                          SCALE_PAIRS, BATCH)
+        if want("chr1_scale"):
+            # sa_rate=2 measured +10% over rate 4 at this scale (the
+            # decode walk halves); at 3.1 Gbp the rate-2 index is
+            # ~12 GB of 16 GB HBM (docs/SCALING.md)
+            index250, codes250 = get_index(250_000_000, sa_rate=2, lut_k=13)
+            profiles["chr1_scale"] = run_profile(
+                "chr1_scale", index250, codes250, succ, SCALE_PAIRS, BATCH)
+            del index250, codes250
+        if want("sam_out"):
+            profiles["sam_out"] = run_profile("sam_out", index40, codes40,
+                                              samw, SCALE_PAIRS, BATCH)
         # human-scale: 3.1 Gbp synthetic; prefer the sa_rate=2 index,
         # fall back to a cached rate-4 one
-        del index40, codes40
+        index40 = codes40 = None
         import gc
         gc.collect()
-        for rate in (2, 4):
-            human_tag = f"synth{3_100_000_000}.sa{rate}k13.t3i"
-            if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
-                    or (rate == 2 and os.environ.get("BENCH_HUMAN"))):
-                indexh, codesh = get_index(3_100_000_000, sa_rate=rate,
-                                           lut_k=13)
-                profiles["human_scale"] = run_profile(
-                    "human_scale", indexh, codesh, succ, SCALE_PAIRS, BATCH)
-                break
+        if want("human_scale"):
+            for rate in (2, 4):
+                human_tag = f"synth{3_100_000_000}.sa{rate}k13.t3i"
+                if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
+                        or (rate == 2 and os.environ.get("BENCH_HUMAN"))):
+                    indexh, codesh = get_index(3_100_000_000, sa_rate=rate,
+                                               lut_k=13)
+                    profiles["human_scale"] = run_profile(
+                        "human_scale", indexh, codesh, succ, SCALE_PAIRS,
+                        BATCH)
+                    break
 
-    main_rate = profiles["main"]["reads_per_s"]
+    main_rate = profiles["main"]["reads_per_s"] if "main" in profiles \
+        else next(iter(profiles.values()))["reads_per_s"]
     print(json.dumps({
         "metric": "PE 100bp end-to-end reads/s/chip (40Mbp synthetic index, "
                   "k=3 + DP rescue, succinct output; warm-pass total-elapsed "
