@@ -27,6 +27,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -70,22 +71,144 @@ class DeviceIndex:
         return cls(*children, sa_rate=aux[0], lut_k=aux[1])
 
 
+_CUMSUM_BLOCK = 8192
+
+
+def _cumsum_u32(x: jax.Array) -> jax.Array:
+    """Exact (mod 2^32) inclusive cumulative sum of a 1-D uint32 array.
+
+    Blocked two-level scheme: a 1-D ``associative_scan`` over millions
+    of elements builds a recursion ~log2(n) levels deep whose HLO takes
+    MINUTES to compile on this toolchain (measured 282 s at 2.5M
+    elements), so instead scan along a small fixed axis (8192)
+    vectorized over rows — 13 cheap passes — and recurse on the (n/8192)
+    block totals. Two's-complement wraparound keeps uint32 addition
+    exact mod 2^32 (n up to 4 Gbp fits uint32 by design)."""
+    x = x.astype(U32)
+    n = x.shape[0]
+    B = _CUMSUM_BLOCK
+    if n <= B:
+        return jax.lax.associative_scan(jnp.add, x)
+    nb = -(-n // B)
+    xp = jnp.zeros((nb * B,), U32).at[:n].set(x).reshape(nb, B)
+    local = jax.lax.associative_scan(jnp.add, xp, axis=1)
+    offs = _cumsum_u32(local[:, -1])            # inclusive block totals
+    excl = offs - local[:, -1]
+    return (local + excl[:, None]).reshape(-1)[:n]
+
+
+@jax.jit
+def _occ_from_bwt(bwt: jax.Array) -> jax.Array:
+    """Rebuild the flat occ table from the packed BWT words on device.
+
+    occ[4w+c] = #c in BWT[0:16w) = exclusive cumsum over words of the
+    per-word base counts — so occ (n bytes; 3.1 GB at human scale)
+    never crosses the host->device link. Padding bases in the final
+    partial word only affect that word's own count, which an exclusive
+    cumsum never consumes (occ[w] sums words < w)."""
+    per = [jax.lax.population_count(_match_bits(bwt, U32(c))).astype(U32)
+           for c in range(4)]
+    cnts = jnp.stack(per, axis=1)                     # (nw, 4)
+    incl = jnp.stack([_cumsum_u32(cnts[:, c]) for c in range(4)], axis=1)
+    excl = incl - cnts
+    return excl.reshape(-1)                           # occ[4w+c]
+
+
+@jax.jit
+def _rank_from_marks(mark_words: jax.Array) -> jax.Array:
+    """Exclusive rank directory from the mark bitvector, on device."""
+    pc = jax.lax.population_count(mark_words).astype(U32)
+    return _cumsum_u32(pc) - pc
+
+
+@jax.jit
+def _lut_from_cnt(cnt8: jax.Array, exc_idx: jax.Array, exc_val: jax.Array,
+                  bump_idx: jax.Array, bump_val: jax.Array
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Rebuild [lo, hi) LUT interval tables from per-k-mer counts.
+
+    cnt8 caps each k-mer's occurrence count at 255 (u8 upload, 8x
+    smaller than one u32 table — and two are derived from it); capped
+    entries are patched from the sparse exception list. ``bump``
+    carries the <= k-1 short-suffix offsets of the builder's key
+    scheme (_build_lut): lo = 1 + excl-cumsum(cnt) + incl-cumsum(bump).
+    """
+    cnt = cnt8.astype(U32).at[exc_idx].set(exc_val, mode="drop")
+    bump = jnp.zeros_like(cnt).at[bump_idx].set(bump_val, mode="drop")
+    incl = _cumsum_u32(cnt + bump)
+    lo = U32(1) + incl - cnt
+    return lo, lo + cnt
+
+
+def _lut_compress(lut_lo: np.ndarray, lut_hi: np.ndarray) -> tuple:
+    """Host-side derivation of the compressed LUT upload form."""
+    lo = np.asarray(lut_lo)
+    cnt = np.asarray(lut_hi) - lo                 # u32 wrap-safe (hi >= lo)
+    exc_idx = np.flatnonzero(cnt >= 255).astype(np.int32)
+    exc_val = cnt[exc_idx]
+    cnt8 = np.minimum(cnt, 255).astype(np.uint8)
+    # bumps: lo[m] - (1 + excl-cumsum(cnt)[m]) deltas are sparse
+    # (<= k-1 nonzeros, one per short text suffix)
+    d = (lo[1:] - lo[:-1]) - cnt[:-1]
+    bump_idx = (np.flatnonzero(d) + 1).astype(np.int32)
+    bump_val = d[bump_idx - 1]
+    if lo[0] != 1:                                 # bump at k-mer 0
+        bump_idx = np.concatenate([[0], bump_idx]).astype(np.int32)
+        bump_val = np.concatenate([[lo[0] - 1], bump_val])
+    return cnt8, exc_idx, exc_val.astype(np.uint32), bump_idx, \
+        bump_val.astype(np.uint32)
+
+
 def device_index(index: Index, sharding=None) -> DeviceIndex:
     """Upload a host Index to the accelerator (replicated by default).
 
-    The analog of GPUINDEXUpload (alignment.cu:27-116).
+    The analog of GPUINDEXUpload (alignment.cu:27-116) — except that
+    the derived tables (occ, mark_rank, lut_lo/lut_hi) are
+    reconstructed ON DEVICE from their compact sources instead of
+    uploaded: the H2D link is the slow resource (tens of seconds for a
+    whole-genome index), while the few log-pass cumsums that rebuild
+    ~4 GB of tables cost milliseconds of device time. HBM layout and
+    the hot search path are byte-identical to a direct upload
+    (tests/test_fmindex.py asserts equality). Sharded (mesh) uploads
+    keep the direct path; SOAP3DP_DIRECT_UPLOAD=1 forces it.
     """
-    put = partial(jax.device_put, device=sharding) if sharding is not None else jnp.asarray
+    if sharding is not None or os.environ.get("SOAP3DP_DIRECT_UPLOAD"):
+        put = partial(jax.device_put, device=sharding) \
+            if sharding is not None else jnp.asarray
+        return DeviceIndex(
+            occ=put(np.asarray(index.occ)),
+            bwt=put(np.asarray(index.bwt)),
+            mark_rank=put(np.asarray(index.mark_rank)),
+            mark_words=put(np.asarray(index.mark_words)),
+            sa_samples=put(np.asarray(index.sa_samples)),
+            counts=put(np.asarray(index.counts)),
+            pac=put(np.asarray(index.pac)),
+            lut_lo=put(np.asarray(index.lut_lo)),
+            lut_hi=put(np.asarray(index.lut_hi)),
+            primary=jnp.uint32(index.primary),
+            n=jnp.uint32(index.n),
+            sa_rate=int(index.sa_rate),
+            lut_k=int(index.lut_k),
+        )
+    bwt = jnp.asarray(np.asarray(index.bwt))
+    occ = _occ_from_bwt(bwt)
+    mark_words = jnp.asarray(np.asarray(index.mark_words))
+    mark_rank = _rank_from_marks(mark_words)
+    cnt8, exc_idx, exc_val, bump_idx, bump_val = _lut_compress(
+        index.lut_lo, index.lut_hi)
+    lut_lo, lut_hi = _lut_from_cnt(
+        jnp.asarray(cnt8), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+        jnp.asarray(bump_idx), jnp.asarray(bump_val))
     return DeviceIndex(
-        occ=put(np.asarray(index.occ)),
-        bwt=put(np.asarray(index.bwt)),
-        mark_rank=put(np.asarray(index.mark_rank)),
-        mark_words=put(np.asarray(index.mark_words)),
-        sa_samples=put(np.asarray(index.sa_samples)),
-        counts=put(np.asarray(index.counts)),
-        pac=put(np.asarray(index.pac)),
-        lut_lo=put(np.asarray(index.lut_lo)),
-        lut_hi=put(np.asarray(index.lut_hi)),
+        occ=occ,
+        bwt=bwt,
+        mark_rank=mark_rank,
+        mark_words=mark_words,
+        sa_samples=jnp.asarray(np.asarray(index.sa_samples)),
+        counts=jnp.asarray(np.asarray(index.counts)),
+        pac=jnp.asarray(np.asarray(index.pac)),
+        lut_lo=lut_lo,
+        lut_hi=lut_hi,
         primary=jnp.uint32(index.primary),
         n=jnp.uint32(index.n),
         sa_rate=int(index.sa_rate),

@@ -123,3 +123,33 @@ def test_extract_genome_and_mismatches(small_device_index, oracle, rng):
         small_device_index, jnp.asarray(tps), jnp.asarray(reads),
         jnp.full((M,), L, jnp.int32)))
     assert np.array_equal(nm, k)
+
+
+def test_compressed_upload_equals_direct(small_index):
+    """device_index reconstructs occ/mark_rank/lut on device from their
+    compact sources (H2D bytes shrink ~4x at scale); the HBM tables
+    must be byte-identical to a direct upload of the host arrays."""
+    import os
+
+    compressed = fmindex.device_index(small_index)
+    os.environ["SOAP3DP_DIRECT_UPLOAD"] = "1"
+    try:
+        direct = fmindex.device_index(small_index)
+    finally:
+        del os.environ["SOAP3DP_DIRECT_UPLOAD"]
+    for name in ("occ", "bwt", "mark_rank", "mark_words", "sa_samples",
+                 "counts", "pac", "lut_lo", "lut_hi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(compressed, name)),
+            np.asarray(getattr(direct, name)), err_msg=name)
+
+
+def test_compressed_upload_equals_direct_resampled(small_index):
+    """The reconstruction also holds after the OOM ladder resamples the
+    SA (mark bitvector changes; rank directory must track it)."""
+    from soap3dp_tpu.index.builder import resample_sa
+
+    idx16 = resample_sa(small_index, 16)
+    compressed = fmindex.device_index(idx16)
+    np.testing.assert_array_equal(np.asarray(compressed.mark_rank),
+                                  np.asarray(idx16.mark_rank))
