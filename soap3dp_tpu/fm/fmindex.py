@@ -71,30 +71,40 @@ class DeviceIndex:
         return cls(*children, sa_rate=aux[0], lut_k=aux[1])
 
 
-_CUMSUM_BLOCK = 8192
+_CUMSUM_BLOCK = 256
 
 
 def _cumsum_u32(x: jax.Array) -> jax.Array:
     """Exact (mod 2^32) inclusive cumulative sum of a 1-D uint32 array.
 
-    Blocked two-level scheme: a 1-D ``associative_scan`` over millions
-    of elements builds a recursion ~log2(n) levels deep whose HLO takes
-    MINUTES to compile on this toolchain (measured 282 s at 2.5M
-    elements), so instead scan along a small fixed axis (8192)
-    vectorized over rows — 13 cheap passes — and recurse on the (n/8192)
-    block totals. Two's-complement wraparound keeps uint32 addition
-    exact mod 2^32 (n up to 4 Gbp fits uint32 by design)."""
+    MXU scheme: reshape into (nb, 256) blocks, cumsum each block as a
+    matmul against a triangular ones matrix, recurse on the nb block
+    totals (<= 5 levels at 4 Gbp). associative_scan/cumsum HLO at this
+    size takes the TPU compiler MINUTES (a 250 Mbp occ rebuild sat >10
+    min in XLA; the same HLO compiles in 3 s on the CPU backend), while
+    a handful of (nb,256)x(256,256) matmuls compile instantly and run
+    on the MXU. Exactness: each u32 is split into u16 halves, so a
+    256-element f32 dot stays < 2^24 (integer-exact); the u32
+    recombination (hi<<16 and cross-block adds) wraps mod 2^32, exact
+    by design (n up to 4 Gbp fits u32)."""
     x = x.astype(U32)
     n = x.shape[0]
     B = _CUMSUM_BLOCK
-    if n <= B:
-        return jax.lax.associative_scan(jnp.add, x)
     nb = -(-n // B)
     xp = jnp.zeros((nb * B,), U32).at[:n].set(x).reshape(nb, B)
-    local = jax.lax.associative_scan(jnp.add, xp, axis=1)
-    offs = _cumsum_u32(local[:, -1])            # inclusive block totals
-    excl = offs - local[:, -1]
-    return (local + excl[:, None]).reshape(-1)[:n]
+    tri = jnp.triu(jnp.ones((B, B), jnp.float32))          # i<=j
+    lo = jax.lax.dot(
+        (xp & U32(0xFFFF)).astype(jnp.float32), tri,
+        precision=jax.lax.Precision.HIGHEST)
+    hi = jax.lax.dot(
+        (xp >> U32(16)).astype(jnp.float32), tri,
+        precision=jax.lax.Precision.HIGHEST)
+    local = lo.astype(U32) + (hi.astype(U32) << U32(16))   # (nb, B) incl
+    tot = local[:, -1]
+    if nb > 1:
+        excl = _cumsum_u32(tot) - tot
+        local = local + excl[:, None]
+    return local.reshape(-1)[:n]
 
 
 @jax.jit
@@ -162,17 +172,22 @@ def _lut_compress(lut_lo: np.ndarray, lut_hi: np.ndarray) -> tuple:
 def device_index(index: Index, sharding=None) -> DeviceIndex:
     """Upload a host Index to the accelerator (replicated by default).
 
-    The analog of GPUINDEXUpload (alignment.cu:27-116) — except that
-    the derived tables (occ, mark_rank, lut_lo/lut_hi) are
-    reconstructed ON DEVICE from their compact sources instead of
-    uploaded: the H2D link is the slow resource (tens of seconds for a
-    whole-genome index), while the few log-pass cumsums that rebuild
-    ~4 GB of tables cost milliseconds of device time. HBM layout and
-    the hot search path are byte-identical to a direct upload
-    (tests/test_fmindex.py asserts equality). Sharded (mesh) uploads
-    keep the direct path; SOAP3DP_DIRECT_UPLOAD=1 forces it.
+    The analog of GPUINDEXUpload (alignment.cu:27-116). With
+    SOAP3DP_DEVICE_REBUILD=1 the derived tables (occ, mark_rank,
+    lut_lo/lut_hi — ~55% of the index bytes) are reconstructed ON
+    DEVICE from their compact sources instead of uploaded, via MXU
+    triangular-matmul cumsums; HBM layout and the hot search path are
+    byte-identical to a direct upload (tests/test_fmindex.py asserts
+    equality). This is the right trade on local TPU hardware where
+    H2D is the slow resource and compiles are fast. It is NOT the
+    default because on the remote-relay backend used here the three
+    reconstruction compiles cost 4-11 min and the persistent
+    compilation cache does not shortcut relay compiles (measured:
+    direct 25-35 s vs rebuild 247-710 s for a 250 Mbp index, even on
+    a warm .jaxcache). Sharded (mesh) uploads always take the direct
+    path.
     """
-    if sharding is not None or os.environ.get("SOAP3DP_DIRECT_UPLOAD"):
+    if sharding is not None or not os.environ.get("SOAP3DP_DEVICE_REBUILD"):
         put = partial(jax.device_put, device=sharding) \
             if sharding is not None else jnp.asarray
         return DeviceIndex(
