@@ -52,7 +52,12 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     print(f"[builder] parsing {args.fasta}", file=sys.stderr)
-    genome = pack_fasta(args.fasta)
+    try:
+        genome = pack_fasta(args.fasta)
+    except (FileNotFoundError, IsADirectoryError, PermissionError,
+            ValueError) as e:
+        print(f"[builder] error: {e}", file=sys.stderr)
+        return 1
     print(f"[builder] {genome.length} bp in {len(genome.names)} sequence(s); "
           f"building index", file=sys.stderr)
     out = f"{args.fasta}.index.t3i"

@@ -126,12 +126,22 @@ def main(argv=None) -> int:
     from soap3dp_tpu.cli.runner import run_pair, run_single, run_multi
 
     t0 = time.time()
-    if cmd == "single":
-        rc = run_single(args)
-    elif cmd == "pair":
-        rc = run_pair(args)
-    else:
-        rc = run_multi(cmd, args)
+    # user-input failures exit with a clean one-line diagnostic and a
+    # non-zero code (the reference CLI behavior) instead of a traceback
+    try:
+        if cmd == "single":
+            rc = run_single(args)
+        elif cmd == "pair":
+            rc = run_pair(args)
+        else:
+            rc = run_multi(cmd, args)
+    except (FileNotFoundError, IsADirectoryError, PermissionError) as e:
+        print(f"[soap3dp] error: {e.strerror or e}: "
+              f"{e.filename or ''}".rstrip(": "), file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"[soap3dp] error: {e}", file=sys.stderr)
+        return 1
     print(f"[soap3dp] total wall time: {time.time() - t0:.2f}s",
           file=sys.stderr)
     return rc

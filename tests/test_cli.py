@@ -118,6 +118,50 @@ def test_cli_pair_devices_mesh(workdir):
     assert mesh == single
 
 
+def test_cli_bad_inputs_exit_cleanly(workdir, tmp_path, capsys):
+    """User-input failures (missing file, truncated FASTQ, mismatched
+    pair files, non-FASTA genome) print one diagnostic line and return
+    rc=1 — never a traceback (reference CLI behavior)."""
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+
+    trunc = tmp_path / "trunc.fq"
+    trunc.write_text("@x\nACGT")
+    short2 = tmp_path / "short2.fq"
+    short2.write_text("@p0\nACGTACGTACGT\n+\nIIIIIIIIIIII\n")
+    cases = [
+        ["single", str(d / "g.fa.index"), str(tmp_path / "nope.fq"),
+         "-o", str(tmp_path / "o1")],
+        ["single", str(d / "g.fa.index"), str(trunc),
+         "-o", str(tmp_path / "o2")],
+        ["pair", str(d / "g.fa.index"), str(d / "r1.fq"), str(short2),
+         "-o", str(tmp_path / "o3")],
+    ]
+    for argv in cases:
+        assert main(argv) == 1, argv
+        err = capsys.readouterr().err
+        assert "error:" in err, argv
+
+    from soap3dp_tpu.cli.builder import main as bmain
+    notfa = tmp_path / "x.bin"
+    notfa.write_bytes(b"\x00\x01\x02 not a fasta")
+    assert bmain([str(notfa)]) == 1
+    assert bmain([str(tmp_path / "missing.fa")]) == 1
+
+
+def test_cli_empty_input_ok(workdir, tmp_path):
+    """An empty FASTQ is not an error: 0 reads, valid SAM header out."""
+    d, *_ = workdir
+    from soap3dp_tpu.cli.main import main
+    empty = tmp_path / "empty.fq"
+    empty.write_text("")
+    rc = main(["single", str(d / "g.fa.index"), str(empty),
+               "-o", str(tmp_path / "oe")])
+    assert rc == 0
+    lines = open(tmp_path / "oe.sam").readlines()
+    assert lines and all(l.startswith("@") for l in lines)
+
+
 def test_ini_options(tmp_path):
     ini = tmp_path / "soap3-dp.ini"
     ini.write_text("""
