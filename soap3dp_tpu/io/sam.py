@@ -155,9 +155,14 @@ class SamWriter:
         # (scattering per column measured 30x slower at 200k records)
         name_tab = np.array(self.names)
         tab = b"\t"
-        parts = [np.array(list(names)), tab, dec(flags), tab,
+
+        def sarr(x):
+            a = np.asarray(x)
+            return a if a.dtype.kind == "S" else np.array(list(x))
+
+        parts = [sarr(names), tab, dec(flags), tab,
                  name_tab[np.maximum(chroms, 0)], tab, dec(poss + 1), tab,
-                 dec(np.asarray(mapqs)), tab, np.array(list(cigars))]
+                 dec(np.asarray(mapqs)), tab, sarr(cigars)]
         if mate_chroms is None:
             parts.append(b"\t*\t0\t0\t")
         else:

@@ -75,7 +75,19 @@ def available() -> bool:
 
 
 def _concat_with_offsets(items) -> tuple[np.ndarray, np.ndarray]:
-    """list of bytes -> (flat uint8 buffer, int64 offsets of length n+1)."""
+    """bytes sequence -> (flat uint8 buffer, int64 offsets, length n+1).
+
+    Fixed-width numpy 'S' arrays take a fully vectorized path (one
+    masked ragged copy); lists of bytes fall back to a Python join."""
+    a = np.asarray(items) if not isinstance(items, np.ndarray) else items
+    if a.dtype.kind == "S":
+        W = a.dtype.itemsize
+        lens = np.char.str_len(a).astype(np.int64)
+        off = np.zeros(len(a) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        m = np.ascontiguousarray(a).view(np.uint8).reshape(len(a), W)
+        buf = m[np.arange(W, dtype=np.int64)[None, :] < lens[:, None]]
+        return buf, off
     off = np.zeros(len(items) + 1, np.int64)
     np.cumsum(np.fromiter((len(x) for x in items), np.int64,
                           count=len(items)), out=off[1:])
@@ -106,8 +118,10 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
     n = len(names)
     name_buf, name_off = _concat_with_offsets(names)
     if cigars is not None:
-        cig_buf, cig_off = _concat_with_offsets(
-            [c if isinstance(c, bytes) else c.encode() for c in cigars])
+        if not (isinstance(cigars, np.ndarray) and cigars.dtype.kind == "S"):
+            cigars = [c if isinstance(c, bytes) else c.encode()
+                      for c in cigars]
+        cig_buf, cig_off = _concat_with_offsets(cigars)
     else:
         cig_buf, cig_off = np.zeros(0, np.uint8), None
 

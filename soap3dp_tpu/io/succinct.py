@@ -83,8 +83,22 @@ class SuccinctWriter:
         poss = np.asarray(poss, np.uint32)
         mapqs = np.asarray(mapqs, np.uint8)
         nms = np.asarray(nms, np.int32)
-        qlen = np.fromiter((len(n) for n in names), np.int64, N)
-        clen = np.fromiter((len(c) for c in cigars), np.int64, N)
+
+        def ragged(items):
+            """(lengths, flat uint8 source) — vectorized for 'S' arrays."""
+            a = np.asarray(items)
+            if a.dtype.kind == "S":
+                ln = np.char.str_len(a).astype(np.int64)
+                m = np.ascontiguousarray(a).view(np.uint8)
+                m = m.reshape(N, a.dtype.itemsize)
+                keep = np.arange(a.dtype.itemsize, dtype=np.int64)[None, :] \
+                    < ln[:, None]
+                return ln, m[keep]
+            ln = np.fromiter((len(x) for x in items), np.int64, N)
+            return ln, np.frombuffer(b"".join(items), np.uint8)
+
+        qlen, src = ragged(names)
+        clen, csrc = ragged(cigars)
         rec_len = 19 + qlen + clen
         off = np.zeros(N + 1, np.int64)
         np.cumsum(rec_len, out=off[1:])
@@ -102,7 +116,6 @@ class SuccinctWriter:
         o = off[:-1]
         put_u16(o, qlen.astype(np.uint16))
         # ragged qname copy
-        src = np.frombuffer(b"".join(names), np.uint8)
         dst = np.repeat(o + 2, qlen) + (np.arange(len(src))
                                         - np.repeat(np.concatenate(
                                             ([0], np.cumsum(qlen)[:-1])), qlen))
@@ -114,7 +127,6 @@ class SuccinctWriter:
         put_u32(f0 + 6, poss)
         buf[f0 + 10] = mapqs
         put_u16(f0 + 11, clen.astype(np.uint16))
-        csrc = np.frombuffer(b"".join(cigars), np.uint8)
         cdst = np.repeat(f0 + 13, clen) + (np.arange(len(csrc))
                                            - np.repeat(np.concatenate(
                                                ([0], np.cumsum(clen)[:-1])), clen))
@@ -313,7 +325,16 @@ class BamWriter:
         lens_a = np.asarray(seq_lens, np.int64)
         L = seq_codes.shape[1]
 
-        qlen = np.fromiter((len(n) for n in names), np.int64, N)
+        names_a = np.asarray(names)
+        if names_a.dtype.kind == "S":
+            qlen = np.char.str_len(names_a).astype(np.int64)
+            nsrc = np.ascontiguousarray(names_a).view(np.uint8).reshape(
+                N, names_a.dtype.itemsize)
+            nsrc = nsrc[np.arange(names_a.dtype.itemsize,
+                                  dtype=np.int64)[None, :] < qlen[:, None]]
+        else:
+            qlen = np.fromiter((len(n) for n in names), np.int64, N)
+            nsrc = np.frombuffer(b"".join(names), np.uint8)
         sb = (lens_a + 1) // 2               # packed-seq bytes
         aux_n = 35 if tags is not None else 0
         # 4 block_size + 32 fixed + name+NUL + one cigar op + seq + qual
@@ -354,11 +375,10 @@ class BamWriter:
         put_u32(o + 32, np.asarray(tlens, np.int64))
 
         # ragged name copy + NUL terminator (already zero-filled)
-        src = np.frombuffer(b"".join(names), np.uint8)
-        dst = np.repeat(o + 36, qlen) + (np.arange(len(src))
+        dst = np.repeat(o + 36, qlen) + (np.arange(len(nsrc))
                                          - np.repeat(np.concatenate(
                                              ([0], np.cumsum(qlen)[:-1])), qlen))
-        buf[dst] = src
+        buf[dst] = nsrc
         co = o + 36 + qlen + 1
         put_u32(co, (lens_a << 4))                    # one M op
 

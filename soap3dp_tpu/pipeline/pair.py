@@ -532,20 +532,16 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
     if fast.any() and hasattr(writer, "write_block"):
         fi = np.flatnonzero(fast)
         bsel = paired[fi]
-        names = [None] * (2 * len(fi))
-        names[0::2] = [b1.names[b] for b in bsel]
-        names[1::2] = [b2.names[b] for b in bsel]
-        cig_cache: dict[int, bytes] = {}
-
-        def cig(rl):
-            c = cig_cache.get(rl)
-            if c is None:
-                c = cig_cache[rl] = b"%dM" % rl
-            return c
-
-        cigars = [None] * (2 * len(fi))
-        cigars[0::2] = [cig(int(lens1[b])) for b in bsel]
-        cigars[1::2] = [cig(int(lens2[b])) for b in bsel]
+        n1a = np.asarray(b1.names)[bsel]
+        n2a = np.asarray(b2.names)[bsel]
+        W = max(n1a.dtype.itemsize, n2a.dtype.itemsize)
+        names = np.empty(2 * len(fi), f"S{W}")
+        names[0::2] = n1a
+        names[1::2] = n2a
+        # "<len>M" cigars, vectorized (no per-record Python)
+        cigars = np.char.add(
+            np.stack([lens1[bsel], lens2[bsel]], axis=1)
+            .reshape(-1).astype("S11"), b"M")
 
         def inter(a, b_):
             return np.stack([np.asarray(a)[fi], np.asarray(b_)[fi]],
