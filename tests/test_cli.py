@@ -118,6 +118,60 @@ def test_cli_pair_devices_mesh(workdir):
     assert mesh == single
 
 
+def test_cli_multi_chromosome_and_boundaries(tmp_path):
+    """3-chromosome genome: reads report the right (chrom, pos); a read
+    spanning a chromosome boundary must never be placed across it
+    (reference: boundary hits are filtered against the ambiguity/
+    annotation tables, 2bwt-lib/HSP.c coordinate semantics)."""
+    rng = np.random.default_rng(123)
+    lens = [9000, 7000, 11000]
+    seqs = [rng.integers(0, 4, n).astype(np.uint8) for n in lens]
+    fa = tmp_path / "m.fa"
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">ctg{i} extra header words\n")
+            t = dna.decode(s).decode()
+            for j in range(0, len(t), 60):
+                f.write(t[j:j + 60] + "\n")
+    from soap3dp_tpu.cli.builder import main as bmain
+    assert bmain([str(fa)]) == 0
+
+    L = 80
+    fq = tmp_path / "m.fq"
+    want = {}
+    with open(fq, "w") as f:
+        k = 0
+        for i, s in enumerate(seqs):
+            for p in (0, len(s) // 2, len(s) - L):
+                name = f"m{k}"
+                want[name] = (f"ctg{i}", p)
+                f.write(f"@{name}\n{dna.decode(s[p:p+L]).decode()}\n"
+                        f"+\n{'I'*L}\n")
+                k += 1
+        # straddles the ctg0/ctg1 boundary in concatenated coordinates
+        straddle = np.concatenate([seqs[0][-40:], seqs[1][:40]])
+        f.write(f"@cross\n{dna.decode(straddle).decode()}\n+\n{'I'*L}\n")
+    from soap3dp_tpu.cli.main import main
+    assert main(["single", str(fa) + ".index", str(fq),
+                 "-o", str(tmp_path / "om")]) == 0
+    recs = {}
+    for l in open(tmp_path / "om.sam"):
+        if l.startswith("@"):
+            continue
+        f_ = l.rstrip("\n").split("\t")
+        recs.setdefault(f_[0], []).append(f_)
+    for name, (chrom, p) in want.items():
+        r = recs[name][0]
+        assert (r[2], int(r[3]) - 1) == (chrom, p), (name, r[:4])
+    # the boundary read must be unmapped or clipped/DP-placed WITHIN one
+    # chromosome — never a full-length gapless match at the junction
+    for r in recs.get("cross", []):
+        flag = int(r[1])
+        if flag & 0x4:
+            continue
+        assert r[5] != f"{L}M", r[:6]
+
+
 def test_cli_bad_inputs_exit_cleanly(workdir, tmp_path, capsys):
     """User-input failures (missing file, truncated FASTQ, mismatched
     pair files, non-FASTA genome) print one diagnostic line and return
