@@ -118,6 +118,44 @@ def test_cli_pair_devices_mesh(workdir):
     assert mesh == single
 
 
+def test_cli_bam_input(workdir, tmp_path):
+    """Aligning FROM a BAM file (the reference's `-bam` input mode,
+    QueryParser.cpp:27 loadBAMReads; we auto-detect by magic): same
+    records as the FASTQ run."""
+    d, pos, B, L, INS = workdir
+    from soap3dp_tpu.cli.main import main
+    from soap3dp_tpu.index.builder import load_index
+    from soap3dp_tpu.io.fastq import read_single
+    from soap3dp_tpu.io.succinct import BamWriter
+    from soap3dp_tpu.io.sam import FLAG_UNMAPPED, SamRecord
+    from soap3dp_tpu.utils import dna
+
+    # write s.fq's reads into an unaligned BAM
+    inbam = tmp_path / "in.bam"
+    idx = load_index(d / "g.fa.index.t3i")
+    w = BamWriter(inbam, idx)
+    for batch in read_single(str(d / "s.fq"), batch_size=1 << 20,
+                             max_len=L):
+        for i in range(len(batch)):
+            w.write(SamRecord(
+                qname=bytes(batch.names[i]), flag=FLAG_UNMAPPED, chrom=-1,
+                pos=-1, mapq=0, cigar="",
+                seq=dna.decode(batch.codes[i, :batch.lens[i]]),
+                qual=b"I" * int(batch.lens[i])))
+    w.close()
+
+    assert main(["single", str(d / "g.fa.index"), str(inbam),
+                 "-o", str(tmp_path / "ob")]) == 0
+
+    def recs(p):
+        return sorted(l.split("\t")[:6] for l in open(p)
+                      if not l.startswith("@"))
+
+    assert main(["single", str(d / "g.fa.index"), str(d / "s.fq"),
+                 "-o", str(tmp_path / "of")]) == 0
+    assert recs(tmp_path / "ob.sam") == recs(tmp_path / "of.sam")
+
+
 def test_cli_multi_chromosome_and_boundaries(tmp_path):
     """3-chromosome genome: reads report the right (chrom, pos); a read
     spanning a chromosome boundary must never be placed across it
