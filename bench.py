@@ -261,11 +261,18 @@ def main() -> int:
                         BATCH)
                     break
 
-    main_rate = profiles["main"]["reads_per_s"] if "main" in profiles \
-        else next(iter(profiles.values()))["reads_per_s"]
+    if "main" in profiles:
+        head, main_rate = "main", profiles["main"]["reads_per_s"]
+    else:
+        head = next(iter(profiles))
+        main_rate = profiles[head]["reads_per_s"]
+    desc = {"main": "40Mbp synthetic index",
+            "chr1_scale": "250Mbp synthetic index",
+            "sam_out": "40Mbp synthetic index, SAM text output",
+            "human_scale": "3.1Gbp synthetic index"}.get(head, head)
     print(json.dumps({
-        "metric": "PE 100bp end-to-end reads/s/chip (40Mbp synthetic index, "
-                  "k=3 + DP rescue, succinct output; warm-pass total-elapsed "
+        "metric": f"PE 100bp end-to-end reads/s/chip ({desc}, "
+                  "k=3 + DP rescue; warm-pass total-elapsed "
                   "rate incl. rescue flushes)",
         "value": main_rate,
         "unit": "reads/s",
