@@ -65,11 +65,17 @@ struct Reader {
     bool any = false;
     for (;;) {
       if (pos >= len && !fill()) return any ? n : -1;
-      while (pos < len) {
-        unsigned char c = buf[pos++];
-        any = true;
-        if (c == '\n') return n;
-        if (c != '\r' && n < cap) out[n++] = (char)c;
+      unsigned char* start = buf + pos;
+      unsigned char* nl = (unsigned char*)memchr(start, '\n', len - pos);
+      int span = nl ? (int)(nl - start) : (len - pos);
+      any = any || span > 0 || nl != nullptr;
+      int take = span < cap - n ? span : cap - n;
+      memcpy(out + n, start, take);
+      n += take;
+      pos += span + (nl ? 1 : 0);
+      if (nl) {
+        if (n > 0 && out[n - 1] == '\r') n--;  // CRLF
+        return n;
       }
     }
   }

@@ -259,6 +259,8 @@ def run_pair(args) -> int:
         it = prefetch(_stride(read_pairs(args.reads1, args.reads2,
                                          opts.batch_size, opts.max_read_len),
                               hosts, host_id))
+        from soap3dp_tpu.utils import timers
+
         cur = next(it, None)
         if cur:
             _fix_quals(opts, *cur)
@@ -269,7 +271,9 @@ def run_pair(args) -> int:
             nxt = next(it, None)
             if nxt:
                 _fix_quals(opts, *nxt)
-            nxt_pending = dispatch_pair_search(didx, *nxt, opts) if nxt else None
+            with timers.stage("runner.dispatch"):
+                nxt_pending = dispatch_pair_search(didx, *nxt, opts) \
+                    if nxt else None
             t0 = time.time()
             s = _align_backoff(
                 lambda x1, x2, p: align_pair_batch(index, didx, x1, x2, opts,
@@ -324,6 +328,9 @@ def run_multi(cmd: str, args) -> int:
 
 
 def _summary(opts, total) -> None:
+    from soap3dp_tpu.utils import timers
+
+    timers.report()
     print(f"[soap3dp] done: {total}", file=sys.stderr)
     flagged = getattr(total, "still_flagged", 0)
     capped = getattr(total, "capped_anchors", 0)

@@ -13,6 +13,8 @@ import queue
 import threading
 from typing import Iterable, Iterator, TypeVar
 
+from soap3dp_tpu.utils import timers
+
 T = TypeVar("T")
 
 _SENTINEL = object()
@@ -25,7 +27,14 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
 
     def run():
         try:
-            for item in it:
+            i = iter(it)
+            while True:
+                # producer-side parse cost (reader-thread CPU time; on a
+                # single-core host this competes with the align loop)
+                with timers.stage("io.parse"):
+                    item = next(i, _SENTINEL)
+                if item is _SENTINEL:
+                    return
                 q.put(item)
         except BaseException as e:  # re-raised on the consumer side
             err.append(e)
@@ -35,7 +44,9 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     t = threading.Thread(target=run, daemon=True, name="soap3dp-aio")
     t.start()
     while True:
-        item = q.get()
+        # consumer-side wall time blocked waiting on the reader
+        with timers.stage("io.reader_wait"):
+            item = q.get()
         if item is _SENTINEL:
             if err:
                 raise err[0]
@@ -80,11 +91,14 @@ class AsyncWriter:
                 continue  # drain + discard after first failure
             name, args, kw = item
             try:
-                if name == "__records__":
-                    for rec in args[0]:
-                        self.inner.write(rec)
-                else:
-                    getattr(self.inner, name)(*args, **kw)
+                # serialization + file IO cost on the output thread (on a
+                # single-core host this competes with the align loop)
+                with timers.stage("io.write_worker"):
+                    if name == "__records__":
+                        for rec in args[0]:
+                            self.inner.write(rec)
+                    else:
+                        getattr(self.inner, name)(*args, **kw)
             except BaseException as e:
                 self._err.append(e)
 
@@ -121,7 +135,8 @@ class AsyncWriter:
     def close(self):
         self._flush_buf()
         self._q.put(_SENTINEL)
-        self._t.join()
+        with timers.stage("io.writer_drain"):
+            self._t.join()
         self.inner.close()
         if self._err:
             raise self._err[0]

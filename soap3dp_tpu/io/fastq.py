@@ -30,7 +30,7 @@ from soap3dp_tpu.utils import dna
 
 @dataclasses.dataclass
 class ReadBatch:
-    names: list[bytes]
+    names: np.ndarray    # (B,) 'S' fixed-width bytes (list[bytes] accepted)
     codes: np.ndarray    # (B, max_len) uint8 2-bit codes, zero-padded
     lens: np.ndarray     # (B,) int32
     quals: np.ndarray | None  # (B, max_len) uint8 raw phred+33 bytes, or None
@@ -124,7 +124,8 @@ def _make_batch(names, seqs, quals, max_len, warn_state) -> ReadBatch:
     qmat = None
     if quals is not None:
         qmat, _ = _pack_rect(quals, max_len, warn_state)
-    return ReadBatch(names=names, codes=codes, lens=lens, quals=qmat)
+    return ReadBatch(names=np.array(names, dtype="S"), codes=codes,
+                     lens=lens, quals=qmat)
 
 
 def _batchify_precoded(records, batch_size: int, max_len: int
@@ -150,7 +151,8 @@ def _batchify_precoded(records, batch_size: int, max_len: int
             for i, q in enumerate(quals):
                 L = min(len(q), max_len)
                 qm[i, :L] = np.frombuffer(q[:L], np.uint8)
-        return ReadBatch(names=list(names), codes=codes, lens=lens, quals=qm)
+        return ReadBatch(names=np.array(names, dtype="S"), codes=codes,
+                         lens=lens, quals=qm)
 
     for name, codes, qual in records:
         names.append(name)
@@ -222,10 +224,11 @@ def read_pairs(path1, path2=None, batch_size: int = 1 << 16, max_len: int = 128
                 raise ValueError("interleaved BAM has an odd number of reads")
             sel1 = np.arange(0, len(b), 2)
             sel2 = sel1 + 1
-            yield (ReadBatch([b.names[i] for i in sel1], b.codes[sel1],
+            nm = np.asarray(b.names)
+            yield (ReadBatch(nm[sel1], b.codes[sel1],
                              b.lens[sel1],
                              b.quals[sel1] if b.quals is not None else None),
-                   ReadBatch([b.names[i] for i in sel2], b.codes[sel2],
+                   ReadBatch(nm[sel2], b.codes[sel2],
                              b.lens[sel2],
                              b.quals[sel2] if b.quals is not None else None))
         return

@@ -105,11 +105,16 @@ class NativeReader:
             print(f"[soap3dp] warning: reads longer than {L} bp truncated",
                   file=sys.stderr)
             self._warned = True
-        raw = names.raw
-        name_list = [
-            raw[i * NAME_STRIDE: raw.index(b"\x00", i * NAME_STRIDE)]
-            for i in range(n)]
-        return (name_list, codes[:n], lens[:n],
+        # names stay a numpy fixed-width 'S' array end-to-end (writers
+        # consume the columnar form directly): materializing per-read
+        # Python bytes here measured ~30% of total parse cost
+        name_arr = np.frombuffer(names, dtype=f"S{NAME_STRIDE}", count=n)
+        w = max(int(np.char.str_len(name_arr).max(initial=1)), 1)
+        if w < NAME_STRIDE:  # compact to the batch's true name width
+            name_arr = np.ascontiguousarray(
+                name_arr.view(np.uint8).reshape(n, NAME_STRIDE)[:, :w]
+            ).view(f"S{w}").reshape(n)
+        return (name_arr, codes[:n], lens[:n],
                 quals[:n] if flags[0] else None)
 
     def close(self):

@@ -321,10 +321,10 @@ class RescueQueue:
     def add(self, b1: ReadBatch, b2: ReadBatch, ids: np.ndarray,
             t1: hits.HitTable, t2: hits.HitTable) -> None:
         self._items.append((
-            ReadBatch(names=[b1.names[i] for i in ids], codes=b1.codes[ids],
+            ReadBatch(names=np.asarray(b1.names)[ids], codes=b1.codes[ids],
                       lens=b1.lens[ids],
                       quals=None if b1.quals is None else b1.quals[ids]),
-            ReadBatch(names=[b2.names[i] for i in ids], codes=b2.codes[ids],
+            ReadBatch(names=np.asarray(b2.names)[ids], codes=b2.codes[ids],
                       lens=b2.lens[ids],
                       quals=None if b2.quals is None else b2.quals[ids]),
             hits.subset_table(t1, ids), hits.subset_table(t2, ids)))
@@ -367,9 +367,8 @@ def _concat_batches(batches: list[ReadBatch]) -> ReadBatch:
     def pad(c):
         return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
 
-    names: list[bytes] = []
-    for b in batches:
-        names.extend(b.names)
+    names = np.concatenate([np.asarray(b.names, dtype="S")
+                            for b in batches])
     quals = None
     if all(b.quals is not None for b in batches):
         quals = np.concatenate([pad(b.quals) for b in batches])

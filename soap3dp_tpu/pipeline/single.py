@@ -163,7 +163,7 @@ class SalvageQueue:
 
     def add(self, batch: ReadBatch, ids: np.ndarray) -> None:
         self._items.append(ReadBatch(
-            names=[batch.names[i] for i in ids], codes=batch.codes[ids],
+            names=np.asarray(batch.names)[ids], codes=batch.codes[ids],
             lens=batch.lens[ids],
             quals=None if batch.quals is None else batch.quals[ids]))
         self._pending += len(ids)
@@ -232,7 +232,7 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
             kw["tags"] = (stats.x0[bsel], stats.x1[bsel],
                           table.nmis[prim_rows[fi]])
         writer.write_block(
-            [batch.names[b] for b in bsel],
+            np.asarray(batch.names)[bsel],
             np.where(strands[fi] == 1, sam.FLAG_REVERSE, 0),
             chrom[fi], off[fi], np.asarray(mq)[bsel],
             [cig(int(batch.lens[b])) for b in bsel],

@@ -18,7 +18,7 @@ def test_fastq_reader(tmp_path):
     batches = list(fastq.read_single(p, batch_size=10, max_len=8))
     assert len(batches) == 1
     b = batches[0]
-    assert b.names == [b"a", b"b"]
+    assert list(b.names) == [b"a", b"b"]
     assert list(b.lens) == [4, 6]
     assert dna.decode(b.codes[0, :4]) == b"ACGT"
     assert b.quals[1, :6].tobytes() == b"ABCDEF"
@@ -29,7 +29,7 @@ def test_fasta_reader_multiline_gz(tmp_path):
     with gzip.open(p, "wt") as fh:
         fh.write(">x\nACGT\nACGT\n>y desc\nTTTT\n")
     b = next(fastq.read_single(p, max_len=16))
-    assert b.names == [b"x", b"y"]
+    assert list(b.names) == [b"x", b"y"]
     assert dna.decode(b.codes[0, :8]) == b"ACGTACGT"
     assert b.quals is None
 
@@ -164,7 +164,7 @@ def test_native_reader_matches_python(tmp_path):
         nat = list(fastq.read_single(str(path), batch_size=100, max_len=96))
         assert sum(len(b) for b in nat) == 533
         for bp, bn in zip(py, nat):
-            assert bp.names == bn.names
+            assert list(bp.names) == list(bn.names)
             assert np.array_equal(bp.codes, bn.codes)
             assert np.array_equal(bp.lens, bn.lens)
             assert np.array_equal(bp.quals, bn.quals)
@@ -182,7 +182,7 @@ def test_native_reader_fasta(tmp_path):
         f.write(">a desc\nACGT\nACGT\n>b\nTTTT\n")
     batches = list(fastq.read_single(str(fa), batch_size=10, max_len=16))
     b = batches[0]
-    assert b.names == [b"a", b"b"]
+    assert list(b.names) == [b"a", b"b"]
     assert b.lens.tolist() == [8, 4]
     assert b.quals is None
     assert bytes(b.codes[0, :8]) == bytes([0, 1, 2, 3, 0, 1, 2, 3])
