@@ -44,7 +44,7 @@ import numpy as np
 
 from soap3dp_tpu.fm import fmindex
 from soap3dp_tpu.fm.fmindex import DeviceIndex, U32
-from soap3dp_tpu.utils import shapes
+from soap3dp_tpu.utils import shapes, timers
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 ROW_SENTINEL = jnp.int32(0x7FFFFFFF)
@@ -419,9 +419,11 @@ class PendingSearch:
         else:
             self.lens = jnp.asarray(self.lens_h)
         # 2-bit pack before upload: 4x less H2D traffic per batch
-        packed_h = pack_read_matrix(self.reads_h)
-        self.packed = dmesh.shard_rows(self.mesh, packed_h) \
-            if self.mesh is not None else jnp.asarray(packed_h)
+        with timers.stage("dispatch.pack"):
+            packed_h = pack_read_matrix(self.reads_h)
+        with timers.stage("dispatch.h2d"):
+            self.packed = dmesh.shard_rows(self.mesh, packed_h) \
+                if self.mesh is not None else jnp.asarray(packed_h)
         max_len = int(self.lens_h.max())
         min_len = int(self.lens_h.min())
         self.min_seg = min_len // S
@@ -440,10 +442,11 @@ class PendingSearch:
             if (self.lens_h == self.lens_h[0]).all() else 0
         # async dispatch; no sync here. The wire variant fuses hits +
         # totals + flagged into one D2H transfer (one link sync/batch)
-        self._wire = _search_batch_wire(
-            idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
-            self.seed_q, min(self.K, self.K_max), L=self.L,
-            K2=min(self.K2, self.K2_max), uniform_len=self.uniform)
+        with timers.stage("dispatch.jit"):
+            self._wire = _search_batch_wire(
+                idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
+                self.seed_q, min(self.K, self.K_max), L=self.L,
+                K2=min(self.K2, self.K2_max), uniform_len=self.uniform)
         # enqueue the D2H copy right behind the compute: by result()
         # time the bytes are already host-side, hiding the ~100-250ms
         # per-batch transfer behind the host work of the previous batch
