@@ -146,7 +146,8 @@ def _unpack_read_matrix(words: jax.Array, L: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
-                                   "K", "L", "K2", "uniform_len"))
+                                   "K", "L", "K2", "uniform_len",
+                                   "seed_lo", "seed_hi"))
 def _search_batch(
     idx: DeviceIndex,
     reads: jax.Array,   # (B, L) uint8 codes OR (B, W) uint32 packed (L given)
@@ -159,6 +160,11 @@ def _search_batch(
     L: int = 0,         # read-matrix width when `reads` is packed uint32
     K2: int = 0,        # unique-placement budget (0 = lossless)
     uniform_len: int = 0,  # common read length when ALL reads share it
+    seed_lo: int = 0,   # search only pigeonhole segments [seed_lo, seed_hi)
+    seed_hi: int = 0,   # of the k+1-segmentation (0 = all). Segments
+    # [0, m) are complete for <= m-1 mismatches — the basis of the
+    # phased search (the reference's staged-phase scheme,
+    # four_phases_alignment / all_best_alignment, alignment.cu:1119-1236)
 ) -> tuple[HitArrays, jax.Array]:
     if reads.dtype == jnp.uint32:
         reads = _unpack_read_matrix(reads, L)
@@ -177,8 +183,15 @@ def _search_batch(
     if K <= 0:
         K = R * S * cap
 
-    # (R, S) seed segments -> flat (R*S,) search lanes
+    # (R, S) seed segments -> flat (R*S,) search lanes; a phased call
+    # restricts to segment columns [seed_lo, seed_hi)
     sstart, slen = _seed_bounds(olens, S, seed_q)
+    if seed_hi <= 0:
+        seed_hi = S
+    if (seed_lo, seed_hi) != (0, S):
+        sstart = sstart[:, seed_lo:seed_hi]
+        slen = slen[:, seed_lo:seed_hi]
+        S = seed_hi - seed_lo
     seq_rows = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)
     if seed_q == idx.lut_k and max_seed_steps == 0:
         # LUT-only seeds: the whole FM extension collapses to one
@@ -293,9 +306,11 @@ def _search_batch(
 
 
 @partial(jax.jit, static_argnames=("cfg", "cap", "seed_q", "max_seed_steps",
-                                   "K", "L", "K2", "uniform_len"))
+                                   "K", "L", "K2", "uniform_len",
+                                   "seed_lo", "seed_hi"))
 def _search_batch_wire(idx, reads, lens, cfg, cap, max_seed_steps,
-                       seed_q=0, K=0, L=0, K2=0, uniform_len=0):
+                       seed_q=0, K=0, L=0, K2=0, uniform_len=0,
+                       seed_lo=0, seed_hi=0):
     """_search_batch with everything the host needs in ONE u32 vector:
     [total, uniq | flagged bits | tp (K2) | meta (K2)].
 
@@ -305,7 +320,8 @@ def _search_batch_wire(idx, reads, lens, cfg, cap, max_seed_steps,
     row(24b) | nmis(7b) | valid(1b) as in HitArrays.to_host.
     """
     hits, totals = _search_batch(idx, reads, lens, cfg, cap, max_seed_steps,
-                                 seed_q, K, L, K2, uniform_len)
+                                 seed_q, K, L, K2, uniform_len,
+                                 seed_lo, seed_hi)
     B = hits.flagged.shape[0]
     Bp = -(-B // 32) * 32
     fl = jnp.zeros(Bp, jnp.uint32).at[:B].set(hits.flagged.astype(jnp.uint32))
@@ -394,11 +410,15 @@ class PendingSearch:
     """
 
     def __init__(self, idx: DeviceIndex, reads, lens,
-                 cfg: SearchConfig = SearchConfig()):
+                 cfg: SearchConfig = SearchConfig(),
+                 seed_range: tuple[int, int] | None = None):
         from soap3dp_tpu.distributed import mesh as dmesh
 
         self.idx = idx
         self.cfg = cfg
+        # phased search: restrict round 1 to segment columns [lo, hi) of
+        # the k+1-segmentation (rounds 2/3 always use all segments)
+        self.seed_lo, self.seed_hi = seed_range or (0, cfg.num_seeds)
         self.mesh = dmesh.mesh_of(idx)
         self.reads_h = np.asarray(reads)
         self.lens_h = np.asarray(lens).astype(np.int32)
@@ -434,9 +454,10 @@ class PendingSearch:
         # plus a little noise; unique placements ~= one per read. The
         # retry loop grows either budget if a batch beats the estimate,
         # so start tight — every padding slot costs real work
-        self.K = shapes.bucket(self.B * S * 5 // 4, min_size=1024)
+        S_eff = self.seed_hi - self.seed_lo
+        self.K = shapes.bucket(self.B * S_eff * 5 // 4, min_size=1024)
         self.K2 = shapes.bucket(self.B * 2, min_size=1024)
-        self.K_max = self.K2_max = 2 * self.B * S * cfg.occ_cap
+        self.K_max = self.K2_max = 2 * self.B * S_eff * cfg.occ_cap
         # uniform-length batches take the cheap lane-reversal revcomp
         self.uniform = int(self.lens_h[0]) \
             if (self.lens_h == self.lens_h[0]).all() else 0
@@ -446,7 +467,8 @@ class PendingSearch:
             self._wire = _search_batch_wire(
                 idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
                 self.seed_q, min(self.K, self.K_max), L=self.L,
-                K2=min(self.K2, self.K2_max), uniform_len=self.uniform)
+                K2=min(self.K2, self.K2_max), uniform_len=self.uniform,
+                seed_lo=self.seed_lo, seed_hi=self.seed_hi)
         # enqueue the D2H copy right behind the compute: by result()
         # time the bytes are already host-side, hiding the ~100-250ms
         # per-batch transfer behind the host work of the previous batch
@@ -490,7 +512,8 @@ class PendingSearch:
             wire = _search_batch_wire(
                 self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
                 self.steps, self.seed_q, min(K, self.K_max), L=self.L,
-                K2=min(K2, self.K2_max), uniform_len=self.uniform)
+                K2=min(K2, self.K2_max), uniform_len=self.uniform,
+                seed_lo=self.seed_lo, seed_hi=self.seed_hi)
             t, u, hits = _parse_wire(np.asarray(wire), B,
                                      min(K2, self.K2_max))
         # unique placements are compaction-ordered (pads at the end), so

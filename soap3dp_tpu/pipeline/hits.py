@@ -85,6 +85,32 @@ def subset_table(t: HitTable, ids: np.ndarray) -> HitTable:
         start=start, flagged=t.flagged[ids])
 
 
+def merge_tables(a: HitTable, b: HitTable) -> HitTable:
+    """Row-union of two tables over the SAME read set (e.g. phase-1 +
+    phase-2 hits of the phased search). Duplicate placements — found by
+    segments of both phases — are dropped as in hits_to_table; identical
+    (read, pos, strand) rows always carry identical nmis."""
+    B = len(a.flagged)
+    read = np.concatenate([a.read_id, b.read_id])
+    strand = np.concatenate([a.strand, b.strand])
+    pos = np.concatenate([a.pos, b.pos])
+    nmis = np.concatenate([a.nmis, b.nmis])
+    order = np.lexsort((strand, pos, nmis, read))
+    read, strand, pos, nmis = (read[order], strand[order], pos[order],
+                               nmis[order])
+    if read.size:
+        dup = np.concatenate(
+            [[False], (read[1:] == read[:-1]) & (pos[1:] == pos[:-1])
+             & (strand[1:] == strand[:-1])])
+        if dup.any():
+            keep = ~dup
+            read, strand, pos, nmis = (read[keep], strand[keep], pos[keep],
+                                       nmis[keep])
+    start = np.searchsorted(read, np.arange(B + 1)).astype(np.int64)
+    return HitTable(read_id=read, strand=strand, pos=pos, nmis=nmis,
+                    start=start, flagged=a.flagged | b.flagged)
+
+
 def concat_tables(tables: list[HitTable]) -> HitTable:
     """Concatenate renumbered sub-tables along the read axis."""
     off_read = 0

@@ -58,6 +58,14 @@ class AlignOptions:
     # rebuild-specific
     random_seed: int = 0                # random-best determinism
     batch_size: int = 1 << 16
+    # phased BWT search (the reference's staged-phase scheme:
+    # four_phases_alignment / all_best_alignment, alignment.cu:1119-1236):
+    # round 1 searches pigeonhole segments {0,1} (complete for <= 1
+    # mismatch); only pairs it cannot resolve search the remaining
+    # segments. Disabled automatically for -h 1 (all-valid needs the
+    # complete <= k set for every read) and k < 2; env kill switch
+    # SOAP3DP_NO_PHASED=1.
+    phased_search: bool = True
     half_rescue_seeded: bool = False    # phase-B seeded mate rescue round
     # DP seeding searches both exact halves of every seed — the
     # pigeonhole equivalent of the reference's 1-mismatch seed kernel

@@ -237,15 +237,76 @@ def align_pair_batch(
     done = np.zeros(B, bool)
     # ---- phase A: emit BWT pairs (vectorized batch emission) ----
     paired = np.flatnonzero(np.diff(combos.start) > 0)
-    if paired.size:
+    phased = (not opts.skip_bwt_alignment and pending_search is not None
+              and getattr(pending_search, "seed_hi", k + 1) < k + 1)
+    if phased and paired.size and opts.output_mode != opt.OUTPUT_RANDOM_BEST:
+        # phase-1 hit sets are complete for <= 1 mismatch: a found pair
+        # with best total <= 1 is provably the true best pair with a
+        # complete best-level set (any placement phase 1 can miss has
+        # >= 2 mismatches). Pairs with best total >= 2 search the
+        # remaining segments first — the reference escalates its phases
+        # the same way (all_best_alignment, alignment.cu:1236).
+        # Random-best accepts any phase-1 pair (four_phases_alignment
+        # phase semantics, alignment.cu:1119-1232).
+        resolved = paired[combos.total_nm[combos.start[paired]] <= 1]
+    else:
+        resolved = paired
+    pend2 = sel2 = None
+    if phased:
+        todo_m = np.ones(B, bool)
+        todo_m[resolved] = False
+        todo = np.flatnonzero(todo_m)
+        if todo.size:
+            # dispatch segments {2..k} for the unresolved pairs NOW: the
+            # device searches while phase-A emission runs on the host
+            pend2, sel2, nb2 = _dispatch_phase2(didx, b1, b2, todo,
+                                                lens1, lens2, k)
+    if resolved.size:
         with timers.stage("A.emit"):
             _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2,
-                                  combos, paired, lens1, lens2, opts)
-        done[paired] = True
-        summary.paired_bwt += len(paired)
-        summary.num_records += 2 * len(paired)
+                                  combos, resolved, lens1, lens2, opts)
+        done[resolved] = True
+        summary.paired_bwt += len(resolved)
+        summary.num_records += 2 * len(resolved)
 
     todo = np.flatnonzero(~done)
+    if pend2 is not None and todo.size:
+        # ---- phase A2: merged-table retry of the escalated pairs ----
+        # (union of phase-1 and phase-2 segments = the full pigeonhole
+        # search: escalated pairs see exactly the complete <= k set)
+        with timers.stage("A2.tables"):
+            mt1, mt2 = _phase2_tables(index, didx, b1, b2, todo, sel2, nb2,
+                                      t1, t2, lens1, lens2, k, pend2,
+                                      summary)
+        sb1 = _subset_batch(b1, todo)
+        sb2 = _subset_batch(b2, todo)
+        sl1, sl2 = lens1[todo], lens2[todo]
+        nt = len(todo)
+        with timers.stage("A.pairing"):
+            mst1 = hits.read_stats(mt1, nt)
+            mst2 = hits.read_stats(mt2, nt)
+            combos2 = pair_hits(mt1, mt2, nt, sl1, sl2, opts)
+            summary.capped_anchors += combos2.capped
+        paired2 = np.flatnonzero(np.diff(combos2.start) > 0)
+        if paired2.size:
+            with timers.stage("A.emit"):
+                _emit_bwt_pairs_batch(index, writer, sb1, sb2, mt1, mt2,
+                                      mst1, mst2, combos2, paired2,
+                                      sl1, sl2, opts)
+            done[todo[paired2]] = True
+            summary.paired_bwt += len(paired2)
+            summary.num_records += 2 * len(paired2)
+        left = np.flatnonzero(~done)
+        if left.size:
+            loc = np.searchsorted(todo, left)   # ids into sb1/sb2
+            if rescue_queue is not None:
+                rescue_queue.add(sb1, sb2, loc, mt1, mt2)
+            else:
+                _run_rescue_phases(index, didx, sb1, sb2, mt1, mt2, mst1,
+                                   mst2, loc, sl1, sl2, opts, sc, writer,
+                                   summary)
+        return summary
+
     if todo.size and rescue_queue is not None:
         # phases B-E run deferred: failures from several input batches
         # flush as one large rescue batch (see RescueQueue)
@@ -254,6 +315,65 @@ def align_pair_batch(
         _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
                            lens1, lens2, opts, sc, writer, summary)
     return summary
+
+
+def _subset_batch(b: ReadBatch, ids: np.ndarray) -> ReadBatch:
+    return ReadBatch(names=np.asarray(b.names)[ids], codes=b.codes[ids],
+                     lens=b.lens[ids],
+                     quals=None if b.quals is None else b.quals[ids])
+
+
+def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
+    """Async phase-2 search (segments {2..k}) over the unresolved
+    pairs' reads, padded to a bucketed row count to stabilize compile
+    shapes (pad rows repeat pair 0 and are trimmed after)."""
+    from soap3dp_tpu.fm.search import PendingSearch
+    from soap3dp_tpu.utils import shapes
+
+    cfg = SearchConfig(k=k)
+    nb = shapes.bucket(len(todo), min_size=512)
+    sel = todo if len(todo) >= nb else np.concatenate(
+        [todo, np.zeros(nb - len(todo), np.int64)])
+    L = max(b1.codes.shape[1], b2.codes.shape[1])
+
+    def pad(c):
+        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+
+    reads = np.concatenate([pad(b1.codes)[sel], pad(b2.codes)[sel]])
+    lens = np.concatenate([lens1[sel], lens2[sel]])
+    return (PendingSearch(didx, reads, lens, cfg,
+                          seed_range=(2, cfg.num_seeds)), sel, nb)
+
+
+def _phase2_tables(index, didx, b1, b2, todo, sel, nb, t1, t2, lens1, lens2,
+                   k, pend2, summary):
+    """Fetch the phase-2 results and merge with the phase-1 hits of the
+    unresolved pairs (hits.merge_tables drops cross-phase duplicates)."""
+    cfg = SearchConfig(k=k)
+    sbp1 = _subset_batch(b1, sel)
+    sbp2 = _subset_batch(b2, sel)
+    l1p, l2p = lens1[sel], lens2[sel]
+    h1b, h2b = _search_both_ends(didx, sbp1, sbp2, l1p, l2p, cfg,
+                                 pending=pend2)
+    if (np.asarray(h1b.flagged).any() or np.asarray(h2b.flagged).any()):
+        from soap3dp_tpu.fm import host_search
+        with timers.stage("A.host_realign"):
+            h1b = host_search.realign_flagged(index, h1b, sbp1.codes, l1p, k)
+            h2b = host_search.realign_flagged(index, h2b, sbp2.codes, l2p, k)
+    nt = len(todo)
+    # count only reads newly still-flagged in phase 2 (phase-1 stills
+    # were already counted by the caller)
+    summary.still_flagged += int(
+        (np.asarray(h1b.flagged)[:nt] & ~t1.flagged[todo]).sum()
+        + (np.asarray(h2b.flagged)[:nt] & ~t2.flagged[todo]).sum())
+    t1b = hits.hits_to_table(h1b, nb, index, l1p)
+    t2b = hits.hits_to_table(h2b, nb, index, l2p)
+    trim = np.arange(nt)
+    mt1 = hits.merge_tables(hits.subset_table(t1, todo),
+                            hits.subset_table(t1b, trim))
+    mt2 = hits.merge_tables(hits.subset_table(t2, todo),
+                            hits.subset_table(t2b, trim))
+    return mt1, mt2
 
 
 def _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
@@ -378,12 +498,36 @@ def _concat_batches(batches: list[ReadBatch]) -> ReadBatch:
                      quals=quals)
 
 
+def _phase1_range(didx, opts: AlignOptions, k: int) -> tuple[int, int] | None:
+    """Segment range for the phased round-1 search, or None (full).
+
+    Segments {0,1} of the k+1-segmentation are complete for <= 1
+    mismatch; -h 1 (all-valid) needs the complete <= k set for every
+    read, and k < 2 already searches <= 2 segments. Phasing only pays
+    where seeds need FM extension steps past the LUT (genome larger
+    than 4^lut_k): on LUT-only configs the search is too cheap to beat
+    the extra phase-2 dispatch + sync (measured -15% at 40 Mbp vs
+    +21% at 250 Mbp)."""
+    import os
+
+    from soap3dp_tpu.fm.search import default_seed_q
+
+    if (not opts.phased_search or os.environ.get("SOAP3DP_NO_PHASED")
+            or opts.output_mode == opt.OUTPUT_ALL_VALID or k < 2):
+        return None
+    cfg = SearchConfig(k=k)
+    if default_seed_q(didx, cfg) <= didx.lut_k:
+        return None
+    return (0, 2)
+
+
 def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):
     """Async-dispatch the combined both-ends search for a pair batch.
 
     The TPU analog of the reference's double-buffered batch loop
     (alignment.cu:554-561): call this for batch i+1 before doing batch
     i's host work, then hand the pending object to align_pair_batch.
+    Under the phased scheme this is the phase-1 (segments {0,1}) search.
     """
     from soap3dp_tpu.fm.search import PendingSearch
 
@@ -399,7 +543,8 @@ def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):
 
     reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
     lens_all = np.concatenate([lens1, lens2])
-    return PendingSearch(didx, reads_all, lens_all, cfg)
+    return PendingSearch(didx, reads_all, lens_all, cfg,
+                         seed_range=_phase1_range(didx, opts, cfg.k))
 
 
 def _search_both_ends(didx, b1, b2, lens1, lens2, cfg, pending=None):

@@ -523,3 +523,57 @@ def test_salvage_queue_matches_inline(small_index, small_device_index,
     r2 = sorted(l for l in w2._fh.getvalue().decode().splitlines()
                 if not l.startswith("@"))
     assert r1 == r2
+
+
+def test_phased_search_matches_full(small_index, small_device_index,
+                                    small_genome, rng):
+    """The phased scheme (segments {0,1} first, escalate unresolved
+    pairs to the remaining segments — the reference's staged phases,
+    all_best_alignment alignment.cu:1236) must produce the same records
+    as the one-shot full search: escalated pairs see the complete <= k
+    set by construction, and resolved pairs (best total <= 1) are
+    provably complete at their best level."""
+    from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
+    from soap3dp_tpu.pipeline.pair import align_pair_batch as apb
+
+    codes = small_genome.codes
+    L, insert, N = 60, 200, 48
+    seqs1, seqs2 = [], []
+    for i in range(N):
+        p = int(rng.integers(100, len(codes) - 400))
+        left = codes[p:p + L].copy()
+        right = codes[p + insert - L:p + insert].copy()
+        # plant 0-2 mismatches per end: pairs with total >= 2 exercise
+        # the escalation path, total <= 1 the resolved path
+        for seq, m in ((left, i % 3), (right, (i // 3) % 3)):
+            for pos in rng.choice(L, size=m, replace=False):
+                seq[pos] = (seq[pos] + 1 + rng.integers(3)) % 4
+        seqs1.append(left)
+        seqs2.append(dna.revcomp_codes(right))
+    b1 = make_batch(seqs1, max_len=L)
+    b2 = make_batch(seqs2, max_len=L)
+
+    outs = []
+    for phased in (False, True):
+        opts = AlignOptions(min_insert=100, max_insert=300)
+        pend = None
+        if phased:
+            lens1 = b1.lens.astype(np.int32)
+            lens2 = b2.lens.astype(np.int32)
+            cfg = SearchConfig(k=opts.effective_mismatches(L))
+            assert cfg.num_seeds > 2  # (0, 2) must be a real restriction
+            pend = PendingSearch(
+                small_device_index,
+                np.concatenate([b1.codes, b2.codes]),
+                np.concatenate([lens1, lens2]), cfg, seed_range=(0, 2))
+        buf = io.BytesIO()
+        w = SamWriter(buf, small_index)
+        summary = apb(small_index, small_device_index, b1, b2, opts, w,
+                      pending_search=pend)
+        outs.append((summary, sorted(
+            l for l in buf.getvalue().decode().splitlines()
+            if not l.startswith("@"))))
+    (s_full, r_full), (s_ph, r_ph) = outs
+    assert s_ph.paired_bwt == s_full.paired_bwt == N
+    assert s_ph.num_records == s_full.num_records
+    assert r_ph == r_full
