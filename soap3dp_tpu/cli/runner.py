@@ -191,11 +191,15 @@ def run_single(args) -> int:
 
     from soap3dp_tpu.cli.main import _build_options
     from soap3dp_tpu.io.fastq import read_single
-    from soap3dp_tpu.pipeline.single import BatchSummary, align_single_batch
+    from soap3dp_tpu.pipeline.single import (BatchSummary,
+                                             align_single_batch,
+                                             dispatch_single_search)
 
     from soap3dp_tpu.io.aio import prefetch
 
     from soap3dp_tpu.pipeline.single import SalvageQueue
+
+    from soap3dp_tpu.utils import timers
 
     opts = _build_options(args, args.reads)
     if hosts > 1:
@@ -205,22 +209,37 @@ def run_single(args) -> int:
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
         sq = SalvageQueue(index, didx, opts)
-        for batch in prefetch(_stride(read_single(args.reads, opts.batch_size,
-                                                  opts.max_read_len),
-                                      hosts, host_id)):
+        # double-buffered batch loop (same pattern as run_pair): the
+        # next batch's device search runs during this batch's host work
+        it = prefetch(_stride(read_single(args.reads, opts.batch_size,
+                                          opts.max_read_len),
+                              hosts, host_id))
+        cur = next(it, None)
+        if cur is not None:
+            _fix_quals(opts, cur)
+        pending = dispatch_single_search(didx, cur, opts) \
+            if cur is not None else None
+        while cur is not None:
             w.poll()  # stop aligning as soon as output is failing
+            nxt = next(it, None)
+            if nxt is not None:
+                _fix_quals(opts, nxt)
+            with timers.stage("runner.dispatch"):
+                nxt_pending = dispatch_single_search(didx, nxt, opts) \
+                    if nxt is not None else None
             t0 = time.time()
-            _fix_quals(opts, batch)
             s = _align_backoff(
-                lambda b, _p: align_single_batch(index, didx, b, opts, w,
-                                                 salvage_queue=sq),
-                BatchSummary, (batch,))
+                lambda b, p: align_single_batch(index, didx, b, opts, w,
+                                                salvage_queue=sq,
+                                                pending_search=p),
+                BatchSummary, (cur,), pending=pending)
             total.add(s)
             if sq.should_flush():
                 total.add(sq.flush(w))
             print(f"[soap3dp] batch: {s.num_reads} reads, "
                   f"{s.aligned_bwt} BWT-aligned ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
+            cur, pending = nxt, nxt_pending
         total.add(sq.flush(w))
     _summary(opts, total)
     if hosts > 1:

@@ -111,6 +111,29 @@ def merge_tables(a: HitTable, b: HitTable) -> HitTable:
                     start=start, flagged=a.flagged | b.flagged)
 
 
+def replace_reads(t: HitTable, sub: HitTable, ids: np.ndarray) -> HitTable:
+    """Replace the rows of reads `ids` in `t` with `sub`'s rows (sub is
+    renumbered 0..len(ids)-1, e.g. a phase-2 merged sub-table)."""
+    B = len(t.flagged)
+    ids = np.asarray(ids, np.int64)
+    inids = np.zeros(B, bool)
+    inids[ids] = True
+    keep = ~inids[t.read_id]
+    read = np.concatenate([t.read_id[keep],
+                           ids[sub.read_id].astype(np.int32)])
+    strand = np.concatenate([t.strand[keep], sub.strand])
+    pos = np.concatenate([t.pos[keep], sub.pos])
+    nmis = np.concatenate([t.nmis[keep], sub.nmis])
+    order = np.lexsort((strand, pos, nmis, read))
+    read, strand, pos, nmis = (read[order], strand[order], pos[order],
+                               nmis[order])
+    start = np.searchsorted(read, np.arange(B + 1)).astype(np.int64)
+    flagged = t.flagged.copy()
+    flagged[ids] = sub.flagged
+    return HitTable(read_id=read, strand=strand, pos=pos, nmis=nmis,
+                    start=start, flagged=flagged)
+
+
 def concat_tables(tables: list[HitTable]) -> HitTable:
     """Concatenate renumbered sub-tables along the read axis."""
     off_read = 0

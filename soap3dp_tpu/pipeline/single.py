@@ -58,6 +58,41 @@ def _seq_bytes(batch: ReadBatch, b: int, writer=None) -> bytes:
     return dna.decode(batch.codes[b, : batch.lens[b]])
 
 
+def dispatch_single_search(didx, batch: ReadBatch, opts: AlignOptions):
+    """Async-dispatch the BWT search for a single-end batch (phase 1 of
+    the phased scheme where it applies) — the same double-buffer
+    pattern as dispatch_pair_search."""
+    from soap3dp_tpu.fm.search import PendingSearch
+    from soap3dp_tpu.pipeline.pair import _phase1_range
+
+    lens = batch.lens.astype(np.int32)
+    k = opts.effective_mismatches(int(lens.max()) if len(batch) else 0)
+    return PendingSearch(didx, batch.codes, lens, SearchConfig(k=k),
+                         seed_range=_phase1_range(didx, opts, k))
+
+
+def _phase2_single_table(index, didx, batch, todo, t1, lens, k):
+    """Search segments {2..k} for the unresolved reads and splice the
+    merged (phase-1 + phase-2 = complete <= k) rows into the table."""
+    from soap3dp_tpu.fm.search import PendingSearch
+    from soap3dp_tpu.utils import shapes
+
+    cfg = SearchConfig(k=k)
+    nb = shapes.bucket(len(todo), min_size=512)
+    sel = todo if len(todo) >= nb else np.concatenate(
+        [todo, np.zeros(nb - len(todo), np.int64)])
+    raw = PendingSearch(didx, batch.codes[sel], lens[sel], cfg,
+                        seed_range=(2, cfg.num_seeds)).result()
+    if np.asarray(raw.flagged).any():
+        from soap3dp_tpu.fm import host_search
+        raw = host_search.realign_flagged(index, raw, batch.codes[sel],
+                                          lens[sel], k)
+    tb = hits.hits_to_table(raw, nb, index, lens[sel])
+    sub = hits.merge_tables(hits.subset_table(t1, todo),
+                            hits.subset_table(tb, np.arange(len(todo))))
+    return hits.replace_reads(t1, sub, todo)
+
+
 def align_single_batch(
     index: Index,
     didx: DeviceIndex,
@@ -65,6 +100,7 @@ def align_single_batch(
     opts: AlignOptions,
     writer: SamWriter,
     salvage_queue: "SalvageQueue | None" = None,
+    pending_search=None,
 ) -> BatchSummary:
     B = len(batch)
     summary = BatchSummary(num_reads=B)
@@ -77,7 +113,8 @@ def align_single_batch(
             pos=np.zeros(0, np.uint32), nmis=np.zeros(0, np.int32),
             start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
     else:
-        raw = search_reads(didx, batch.codes, lens, SearchConfig(k=k))
+        raw = pending_search.result() if pending_search is not None \
+            else search_reads(didx, batch.codes, lens, SearchConfig(k=k))
         if np.asarray(raw.flagged).any():
             # complete host re-alignment of super-repetitive reads
             # (ProcessReadDoubleStrand2 analog; see fm/host_search.py)
@@ -85,6 +122,20 @@ def align_single_batch(
             raw = host_search.realign_flagged(index, raw, batch.codes,
                                               lens, k)
         table = hits.hits_to_table(raw, B, index, lens)
+        phased = (pending_search is not None
+                  and getattr(pending_search, "seed_hi", k + 1) < k + 1)
+        if phased:
+            # phase-1 sets are complete for <= 1 mismatch: reads whose
+            # best found hit is <= 1 are provably optimal with a
+            # complete best-level set; the rest (no hit, or best >= 2)
+            # search the remaining segments (the SE analog of the
+            # reference's staged phases, soap3_dp_single_align)
+            st0 = hits.read_stats(table, B)
+            todo = np.flatnonzero((st0.best_nmis < 0)
+                                  | (st0.best_nmis >= 2))
+            if todo.size:
+                table = _phase2_single_table(index, didx, batch, todo,
+                                             table, lens, k)
         summary.still_flagged += int(np.asarray(table.flagged).sum())
     stats = hits.read_stats(table, B)
     selected, primary = hits.select_output(

@@ -577,3 +577,43 @@ def test_phased_search_matches_full(small_index, small_device_index,
     assert s_ph.paired_bwt == s_full.paired_bwt == N
     assert s_ph.num_records == s_full.num_records
     assert r_ph == r_full
+
+
+def test_phased_single_matches_full(small_index, small_device_index,
+                                    small_genome, rng):
+    """Single-end phased search must emit the same records as the
+    one-shot full search (same construction as the PE equivalence)."""
+    from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
+    from soap3dp_tpu.pipeline.single import align_single_batch as asb
+
+    codes = small_genome.codes
+    L, N = 60, 48
+    seqs = []
+    for i in range(N):
+        p = int(rng.integers(100, len(codes) - 200))
+        s = codes[p:p + L].copy()
+        for pos in rng.choice(L, size=i % 3, replace=False):
+            s[pos] = (s[pos] + 1 + rng.integers(3)) % 4
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=L)
+
+    outs = []
+    for phased in (False, True):
+        opts = AlignOptions()
+        pend = None
+        if phased:
+            cfg = SearchConfig(k=opts.effective_mismatches(L))
+            assert cfg.num_seeds > 2
+            pend = PendingSearch(small_device_index, batch.codes,
+                                 batch.lens.astype(np.int32), cfg,
+                                 seed_range=(0, 2))
+        buf = io.BytesIO()
+        w = SamWriter(buf, small_index)
+        summary = asb(small_index, small_device_index, batch, opts, w,
+                      pending_search=pend)
+        outs.append((summary, sorted(
+            l for l in buf.getvalue().decode().splitlines()
+            if not l.startswith("@"))))
+    (s_full, r_full), (s_ph, r_ph) = outs
+    assert s_ph.aligned_bwt == s_full.aligned_bwt == N
+    assert r_ph == r_full
