@@ -109,8 +109,8 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
-    from soap3dp_tpu.pipeline.pair import (PairSummary, RescueQueue,
-                                           align_pair_batch,
+    from soap3dp_tpu.pipeline.pair import (PairSummary, Phase2Queue,
+                                           RescueQueue, align_pair_batch,
                                            dispatch_pair_search)
     from soap3dp_tpu.utils import timers
 
@@ -140,10 +140,16 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     n_batches = -(-n_pairs // batch)
     t0 = time.time()
     wq = RescueQueue(index, didx, opts)
+    wp2 = Phase2Queue(index, didx, opts)
+    wpend = dispatch_pair_search(didx, wb1, wb2, opts)
     for _ in range(n_batches):
-        align_pair_batch(index, didx, wb1, wb2, opts, out, rescue_queue=wq)
+        align_pair_batch(index, didx, wb1, wb2, opts, out,
+                         pending_search=wpend, rescue_queue=wq,
+                         phase2_queue=wp2)
+        wpend = dispatch_pair_search(didx, wb1, wb2, opts)
         if wq.should_flush():
             wq.flush(out)
+    wp2.process(out, wq)
     wq.flush(out)
     print(f"[bench:{name}] warmup (compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -170,6 +176,7 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
         # alignment.cu:554-561); DP rescue defers via the RescueQueue
         batch_times = []
         rq = RescueQueue(index, didx, opts)
+        p2q = Phase2Queue(index, didx, opts)
         pending = dispatch_pair_search(didx, *batches[0], opts)
         for i, (sb1, sb2) in enumerate(batches):
             tb = time.time()
@@ -177,7 +184,10 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
                 if i + 1 < len(batches) else None
             total.add(align_pair_batch(index, didx, sb1, sb2, opts, out,
                                        pending_search=pending,
-                                       rescue_queue=rq))
+                                       rescue_queue=rq,
+                                       phase2_queue=p2q))
+            if i + 1 == len(batches):
+                total.add(p2q.process(out, rq))
             if rq.should_flush() or nxt is None:
                 total.add(rq.flush(out))
             pending = nxt

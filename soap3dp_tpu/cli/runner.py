@@ -274,11 +274,24 @@ def run_pair(args) -> int:
         # flushes as one large batch (RescueQueue)
         from soap3dp_tpu.io.aio import prefetch
 
+        from soap3dp_tpu.pipeline.pair import Phase2Queue
+
         rq = RescueQueue(index, didx, opts)
+        p2q = Phase2Queue(index, didx, opts)
         it = prefetch(_stride(read_pairs(args.reads1, args.reads2,
                                          opts.batch_size, opts.max_read_len),
                               hosts, host_id))
         from soap3dp_tpu.utils import timers
+
+        def _flush_rescue():
+            qn = rq.pending
+            fs = rq.flush(w)
+            total.add(fs)
+            if qn:
+                print(f"[soap3dp] rescue flush: {qn} pairs -> "
+                      f"{fs.paired_dp} DP-paired, "
+                      f"{fs.single_rescued} singly aligned, "
+                      f"{fs.unaligned} unaligned", file=sys.stderr)
 
         cur = next(it, None)
         if cur:
@@ -297,22 +310,19 @@ def run_pair(args) -> int:
             s = _align_backoff(
                 lambda x1, x2, p: align_pair_batch(index, didx, x1, x2, opts,
                                                    w, pending_search=p,
-                                                   rescue_queue=rq),
+                                                   rescue_queue=rq,
+                                                   phase2_queue=p2q),
                 PairSummary, (b1, b2), pending=pending)
             total.add(s)
-            if rq.should_flush() or nxt is None:
-                qn = rq.pending
-                fs = rq.flush(w)
-                total.add(fs)
-                if qn:
-                    print(f"[soap3dp] rescue flush: {qn} pairs -> "
-                          f"{fs.paired_dp} DP-paired, "
-                          f"{fs.single_rescued} singly aligned, "
-                          f"{fs.unaligned} unaligned", file=sys.stderr)
+            if rq.should_flush():
+                _flush_rescue()
             cur, pending = nxt, nxt_pending
             print(f"[soap3dp] batch: {s.num_pairs} pairs, "
                   f"{s.paired_bwt} BWT-paired ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
+        # drain the last batch's deferred escalations, then the rescue queue
+        total.add(p2q.process(w, rq))
+        _flush_rescue()
     _summary(opts, total)
     if hosts > 1:
         _merge_summary(total, hosts)

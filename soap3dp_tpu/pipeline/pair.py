@@ -195,9 +195,14 @@ def align_pair_batch(
     writer: SamWriter,
     pending_search=None,
     rescue_queue: "RescueQueue | None" = None,
+    phase2_queue: "Phase2Queue | None" = None,
 ) -> PairSummary:
     B = len(b1)
     summary = PairSummary(num_pairs=B)
+    if phase2_queue is not None:
+        # finish the PREVIOUS batch's escalated pairs first — their
+        # phase-2 wire landed while this batch was parsed/dispatched
+        summary.add(phase2_queue.process(writer, rescue_queue))
     lens1 = b1.lens.astype(np.int32)
     lens2 = b2.lens.astype(np.int32)
     max_len = int(max(lens1.max() if B else 0, lens2.max() if B else 0))
@@ -240,15 +245,18 @@ def align_pair_batch(
     phased = (not opts.skip_bwt_alignment and pending_search is not None
               and getattr(pending_search, "seed_hi", k + 1) < k + 1)
     if phased and paired.size and opts.output_mode != opt.OUTPUT_RANDOM_BEST:
-        # phase-1 hit sets are complete for <= 1 mismatch: a found pair
-        # with best total <= 1 is provably the true best pair with a
-        # complete best-level set (any placement phase 1 can miss has
-        # >= 2 mismatches). Pairs with best total >= 2 search the
-        # remaining segments first — the reference escalates its phases
-        # the same way (all_best_alignment, alignment.cu:1236).
-        # Random-best accepts any phase-1 pair (four_phases_alignment
-        # phase semantics, alignment.cu:1119-1232).
-        resolved = paired[combos.total_nm[combos.start[paired]] <= 1]
+        # phase-1 hit sets are complete for <= 1 mismatch per end. The
+        # reference's phase-1 success criterion (all_best_alignment,
+        # alignment.cu:1236): a pair formable from the two ends'
+        # <=1-mismatch sets stops there — e.g. a (1,1)-mismatch pair is
+        # accepted at phase 1 and never sees 2-mismatch placements. The
+        # analog here: resolve pairs with at least one combo whose BOTH
+        # ends come from the <=1-complete region; the rest search the
+        # remaining segments first. Random-best accepts any phase-1
+        # pair (four_phases_alignment semantics, alignment.cu:1119).
+        okc = ((t1.nmis[combos.row1] <= 1) & (t2.nmis[combos.row2] <= 1))
+        has = np.bincount(combos.pair_id[okc], minlength=B) > 0
+        resolved = paired[has[paired]]
     else:
         resolved = paired
     pend2 = sel2 = None
@@ -274,37 +282,20 @@ def align_pair_batch(
         # ---- phase A2: merged-table retry of the escalated pairs ----
         # (union of phase-1 and phase-2 segments = the full pigeonhole
         # search: escalated pairs see exactly the complete <= k set)
-        with timers.stage("A2.tables"):
-            mt1, mt2 = _phase2_tables(index, didx, b1, b2, todo, sel2, nb2,
-                                      t1, t2, lens1, lens2, k, pend2,
-                                      summary)
-        sb1 = _subset_batch(b1, todo)
-        sb2 = _subset_batch(b2, todo)
-        sl1, sl2 = lens1[todo], lens2[todo]
-        nt = len(todo)
-        with timers.stage("A.pairing"):
-            mst1 = hits.read_stats(mt1, nt)
-            mst2 = hits.read_stats(mt2, nt)
-            combos2 = pair_hits(mt1, mt2, nt, sl1, sl2, opts)
-            summary.capped_anchors += combos2.capped
-        paired2 = np.flatnonzero(np.diff(combos2.start) > 0)
-        if paired2.size:
-            with timers.stage("A.emit"):
-                _emit_bwt_pairs_batch(index, writer, sb1, sb2, mt1, mt2,
-                                      mst1, mst2, combos2, paired2,
-                                      sl1, sl2, opts)
-            done[todo[paired2]] = True
-            summary.paired_bwt += len(paired2)
-            summary.num_records += 2 * len(paired2)
-        left = np.flatnonzero(~done)
-        if left.size:
-            loc = np.searchsorted(todo, left)   # ids into sb1/sb2
-            if rescue_queue is not None:
-                rescue_queue.add(sb1, sb2, loc, mt1, mt2)
-            else:
-                _run_rescue_phases(index, didx, sb1, sb2, mt1, mt2, mst1,
-                                   mst2, loc, sl1, sl2, opts, sc, writer,
-                                   summary)
+        item = _Phase2Item(
+            pend2=pend2, k=k, nt=len(todo), nb=nb2,
+            sb1=_subset_batch(b1, sel2), sb2=_subset_batch(b2, sel2),
+            l1=lens1[sel2], l2=lens2[sel2],
+            t1sub=hits.subset_table(t1, todo),
+            t2sub=hits.subset_table(t2, todo))
+        if phase2_queue is not None:
+            # deferred: fetched at the start of the NEXT batch's
+            # align, hiding the device latency + D2H sync behind a
+            # full batch of host work (same deferral as RescueQueue)
+            phase2_queue.add(item)
+        else:
+            _phase2_finish(index, didx, item, opts, sc, writer,
+                           rescue_queue, summary)
         return summary
 
     if todo.size and rescue_queue is not None:
@@ -321,6 +312,108 @@ def _subset_batch(b: ReadBatch, ids: np.ndarray) -> ReadBatch:
     return ReadBatch(names=np.asarray(b.names)[ids], codes=b.codes[ids],
                      lens=b.lens[ids],
                      quals=None if b.quals is None else b.quals[ids])
+
+
+def _trim_batch(b: ReadBatch, n: int) -> ReadBatch:
+    return ReadBatch(names=b.names[:n], codes=b.codes[:n], lens=b.lens[:n],
+                     quals=None if b.quals is None else b.quals[:n])
+
+
+@dataclasses.dataclass
+class _Phase2Item:
+    """A dispatched phase-2 search with everything needed to finish it."""
+
+    pend2: object          # PendingSearch over segments {2..k}
+    k: int
+    nt: int                # real escalated-pair count (rest is padding)
+    nb: int                # bucketed/padded pair count
+    sb1: ReadBatch         # padded subset batches (nb pairs)
+    sb2: ReadBatch
+    l1: np.ndarray
+    l2: np.ndarray
+    t1sub: hits.HitTable   # phase-1 hits of the escalated pairs (nt)
+    t2sub: hits.HitTable
+
+
+class Phase2Queue:
+    """One-batch-deep pipeline for phase-2 completions: items added
+    during batch i are finished at the start of batch i+1's align (and
+    drained by the runner after the last batch)."""
+
+    def __init__(self, index, didx, opts: AlignOptions):
+        self.index = index
+        self.didx = didx
+        self.opts = opts
+        self.sc = DPScores(opts.match_score, opts.mismatch_score,
+                           opts.gap_open_score, opts.gap_extend_score)
+        self._items: list[_Phase2Item] = []
+
+    def add(self, item: _Phase2Item) -> None:
+        self._items.append(item)
+
+    def process(self, writer, rescue_queue=None) -> PairSummary:
+        s = PairSummary()
+        items, self._items = self._items, []
+        for it in items:
+            _phase2_finish(self.index, self.didx, it, self.opts, self.sc,
+                           writer, rescue_queue, s)
+        return s
+
+
+def _phase2_finish(index, didx, it: _Phase2Item, opts, sc, writer,
+                   rescue_queue, summary) -> None:
+    """Fetch a dispatched phase-2 search and finish its pairs: merge
+    with the phase-1 hits (hits.merge_tables drops cross-phase
+    duplicates), re-pair, emit, and route leftovers to rescue."""
+    cfg = SearchConfig(k=it.k)
+    with timers.stage("A2.fetch"):
+        h1b, h2b = _search_both_ends(didx, it.sb1, it.sb2, it.l1, it.l2,
+                                     cfg, pending=it.pend2)
+    if (np.asarray(h1b.flagged).any() or np.asarray(h2b.flagged).any()):
+        from soap3dp_tpu.fm import host_search
+        with timers.stage("A.host_realign"):
+            h1b = host_search.realign_flagged(index, h1b, it.sb1.codes,
+                                              it.l1, it.k)
+            h2b = host_search.realign_flagged(index, h2b, it.sb2.codes,
+                                              it.l2, it.k)
+    nt = it.nt
+    with timers.stage("A2.tables"):
+        # count only reads newly still-flagged in phase 2 (phase-1
+        # stills were already counted when their batch was aligned)
+        summary.still_flagged += int(
+            (np.asarray(h1b.flagged)[:nt] & ~it.t1sub.flagged).sum()
+            + (np.asarray(h2b.flagged)[:nt] & ~it.t2sub.flagged).sum())
+        t1b = hits.hits_to_table(h1b, it.nb, index, it.l1)
+        t2b = hits.hits_to_table(h2b, it.nb, index, it.l2)
+        trim = np.arange(nt)
+        mt1 = hits.merge_tables(it.t1sub, hits.subset_table(t1b, trim))
+        mt2 = hits.merge_tables(it.t2sub, hits.subset_table(t2b, trim))
+    sb1 = _trim_batch(it.sb1, nt)
+    sb2 = _trim_batch(it.sb2, nt)
+    sl1, sl2 = it.l1[:nt], it.l2[:nt]
+    with timers.stage("A.pairing"):
+        mst1 = hits.read_stats(mt1, nt)
+        mst2 = hits.read_stats(mt2, nt)
+        combos2 = pair_hits(mt1, mt2, nt, sl1, sl2, opts)
+        summary.capped_anchors += combos2.capped
+    paired2 = np.flatnonzero(np.diff(combos2.start) > 0)
+    if paired2.size:
+        with timers.stage("A.emit"):
+            _emit_bwt_pairs_batch(index, writer, sb1, sb2, mt1, mt2,
+                                  mst1, mst2, combos2, paired2,
+                                  sl1, sl2, opts)
+        summary.paired_bwt += len(paired2)
+        summary.num_records += 2 * len(paired2)
+    left_m = np.ones(nt, bool)
+    left_m[paired2] = False
+    left = np.flatnonzero(left_m)
+    if left.size:
+        if rescue_queue is not None:
+            rescue_queue.add(sb1, sb2, left, mt1, mt2)
+        else:
+            _run_rescue_phases(index, didx, sb1, sb2, mt1, mt2, mst1,
+                               mst2, left, sl1, sl2, opts, sc, writer,
+                               summary)
 
 
 def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
@@ -345,35 +438,6 @@ def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
                           seed_range=(2, cfg.num_seeds)), sel, nb)
 
 
-def _phase2_tables(index, didx, b1, b2, todo, sel, nb, t1, t2, lens1, lens2,
-                   k, pend2, summary):
-    """Fetch the phase-2 results and merge with the phase-1 hits of the
-    unresolved pairs (hits.merge_tables drops cross-phase duplicates)."""
-    cfg = SearchConfig(k=k)
-    sbp1 = _subset_batch(b1, sel)
-    sbp2 = _subset_batch(b2, sel)
-    l1p, l2p = lens1[sel], lens2[sel]
-    h1b, h2b = _search_both_ends(didx, sbp1, sbp2, l1p, l2p, cfg,
-                                 pending=pend2)
-    if (np.asarray(h1b.flagged).any() or np.asarray(h2b.flagged).any()):
-        from soap3dp_tpu.fm import host_search
-        with timers.stage("A.host_realign"):
-            h1b = host_search.realign_flagged(index, h1b, sbp1.codes, l1p, k)
-            h2b = host_search.realign_flagged(index, h2b, sbp2.codes, l2p, k)
-    nt = len(todo)
-    # count only reads newly still-flagged in phase 2 (phase-1 stills
-    # were already counted by the caller)
-    summary.still_flagged += int(
-        (np.asarray(h1b.flagged)[:nt] & ~t1.flagged[todo]).sum()
-        + (np.asarray(h2b.flagged)[:nt] & ~t2.flagged[todo]).sum())
-    t1b = hits.hits_to_table(h1b, nb, index, l1p)
-    t2b = hits.hits_to_table(h2b, nb, index, l2p)
-    trim = np.arange(nt)
-    mt1 = hits.merge_tables(hits.subset_table(t1, todo),
-                            hits.subset_table(t1b, trim))
-    mt2 = hits.merge_tables(hits.subset_table(t2, todo),
-                            hits.subset_table(t2b, trim))
-    return mt1, mt2
 
 
 def _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,

@@ -617,3 +617,60 @@ def test_phased_single_matches_full(small_index, small_device_index,
     (s_full, r_full), (s_ph, r_ph) = outs
     assert s_ph.aligned_bwt == s_full.aligned_bwt == N
     assert r_ph == r_full
+
+
+def test_phase2_queue_deferred(small_index, small_device_index,
+                               small_genome, rng):
+    """The deferred Phase2Queue path (escalations finished one batch
+    later + drained at end) must emit the same records as the inline
+    phased path."""
+    from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
+    from soap3dp_tpu.pipeline.pair import (Phase2Queue, RescueQueue,
+                                           align_pair_batch as apb)
+
+    codes = small_genome.codes
+    L, insert, N = 60, 200, 40
+    seqs1, seqs2 = [], []
+    for i in range(N):
+        p = int(rng.integers(100, len(codes) - 400))
+        left = codes[p:p + L].copy()
+        right = codes[p + insert - L:p + insert].copy()
+        for seq, m in ((left, i % 3), (right, (i // 2) % 3)):
+            for pos in rng.choice(L, size=m, replace=False):
+                seq[pos] = (seq[pos] + 1 + rng.integers(3)) % 4
+        seqs1.append(left)
+        seqs2.append(dna.revcomp_codes(right))
+    b1 = make_batch(seqs1, max_len=L)
+    b2 = make_batch(seqs2, max_len=L)
+    opts = AlignOptions(min_insert=100, max_insert=300)
+    lens1 = b1.lens.astype(np.int32)
+    lens2 = b2.lens.astype(np.int32)
+    cfg = SearchConfig(k=opts.effective_mismatches(L))
+
+    def run(deferred):
+        buf = io.BytesIO()
+        w = SamWriter(buf, small_index)
+        rq = RescueQueue(small_index, small_device_index, opts)
+        p2q = Phase2Queue(small_index, small_device_index, opts) \
+            if deferred else None
+        total = None
+        for _ in range(2):  # two identical batches through the pipeline
+            pend = PendingSearch(
+                small_device_index,
+                np.concatenate([b1.codes, b2.codes]),
+                np.concatenate([lens1, lens2]), cfg, seed_range=(0, 2))
+            s = apb(small_index, small_device_index, b1, b2, opts, w,
+                    pending_search=pend, rescue_queue=rq,
+                    phase2_queue=p2q)
+            total = s if total is None else (total.add(s) or total)
+        if p2q is not None:
+            total.add(p2q.process(w, rq))
+        total.add(rq.flush(w))
+        return total, sorted(
+            l for l in buf.getvalue().decode().splitlines()
+            if not l.startswith("@"))
+
+    (t_in, r_in), (t_df, r_df) = run(False), run(True)
+    assert t_df.paired_bwt == t_in.paired_bwt
+    assert t_df.num_records == t_in.num_records == 4 * N
+    assert r_df == r_in
