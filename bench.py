@@ -216,6 +216,95 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     return res
 
 
+def run_profile_single(name, index, codes, writer_factory, n_reads,
+                       batch) -> dict:
+    """Single-end profile: the reference's own headline workload is
+    1M x 100bp SE <= 3 mismatches in 37.04s (BGS-Experiment.log:8-11)."""
+    import jax
+
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.io.fastq import ReadBatch
+    from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.single import (BatchSummary, SalvageQueue,
+                                             align_single_batch,
+                                             dispatch_single_search)
+    from soap3dp_tpu.utils import timers
+
+    t0 = time.time()
+    didx = device_index(index)
+    np.asarray(jax.device_get(didx.primary))
+    print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(13)
+    opts = AlignOptions(
+        soap3_mismatch_allow=int(os.environ.get("BENCH_K", 3)))
+    out = writer_factory(index)
+
+    reads, _ = make_pairs(codes, batch, rng)
+    n_batches = -(-n_reads // batch)
+    t0 = time.time()
+    wq = SalvageQueue(index, didx, opts)
+    wpend = dispatch_single_search(didx, reads, opts)
+    for _ in range(n_batches):
+        align_single_batch(index, didx, reads, opts, out,
+                           salvage_queue=wq, pending_search=wpend)
+        wpend = dispatch_single_search(didx, reads, opts)
+        if wq.should_flush():
+            wq.flush(out)
+    wq.flush(out)
+    print(f"[bench:{name}] warmup (compile): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    timers.report(f"[bench:{name} warmup]")
+
+    big, _ = make_pairs(codes, n_reads, rng)
+    batches = []
+    for st in range(0, n_reads, batch):
+        sl = slice(st, st + batch)
+        batches.append(ReadBatch(big.names[sl], big.codes[sl],
+                                 big.lens[sl], None))
+    pass_times = []
+    for p in range(3):
+        total = BatchSummary()
+        t0 = time.time()
+        batch_times = []
+        sq = SalvageQueue(index, didx, opts)
+        pending = dispatch_single_search(didx, batches[0], opts)
+        for i, sb in enumerate(batches):
+            tb = time.time()
+            nxt = dispatch_single_search(didx, batches[i + 1], opts) \
+                if i + 1 < len(batches) else None
+            total.add(align_single_batch(index, didx, sb, opts, out,
+                                         salvage_queue=sq,
+                                         pending_search=pending))
+            if sq.should_flush() or nxt is None:
+                total.add(sq.flush(out))
+            pending = nxt
+            batch_times.append(time.time() - tb)
+        elapsed = time.time() - t0
+        timers.report(f"[bench:{name} pass{p}]")
+        print(f"[bench:{name} pass{p}] {n_reads} reads in "
+              f"{elapsed:.2f}s", file=sys.stderr)
+        if p > 0:
+            pass_times.append((elapsed, batch_times))
+    out.close()
+
+    elapsed, batch_times = min(pass_times, key=lambda x: x[0])
+    med = sorted(batch_times)[len(batch_times) // 2]
+    res = {
+        "reads_per_s": round(n_reads / elapsed, 1),
+        "median_batch_reads_per_s": round(batch / med, 1),
+        "batches": [round(b, 2) for b in batch_times],
+        "warm_pass_seconds": [round(e, 2) for e, _ in pass_times],
+    }
+    print(f"[bench:{name}] {total}", file=sys.stderr)
+    print(f"[bench:{name}] best warm pass: {n_reads} reads in "
+          f"{elapsed:.2f}s -> {res['reads_per_s']:.0f} reads/s elapsed "
+          f"(median batch {med:.2f}s -> "
+          f"{res['median_batch_reads_per_s']:.0f})", file=sys.stderr)
+    return res
+
+
 def main() -> int:
     from soap3dp_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -250,13 +339,20 @@ def main() -> int:
         profiles["main"] = run_profile("main", index40, codes40, succ,
                                        N_PAIRS, BATCH)
     if not os.environ.get("BENCH_MAIN_ONLY"):
-        if want("chr1_scale"):
+        if want("chr1_scale") or want("se_scale"):
             # sa_rate=2 measured +10% over rate 4 at this scale (the
             # decode walk halves); at 3.1 Gbp the rate-2 index is
             # ~12 GB of 16 GB HBM (docs/SCALING.md)
             index250, codes250 = get_index(250_000_000, sa_rate=2, lut_k=13)
-            profiles["chr1_scale"] = run_profile(
-                "chr1_scale", index250, codes250, succ, SCALE_PAIRS, BATCH)
+            if want("chr1_scale"):
+                profiles["chr1_scale"] = run_profile(
+                    "chr1_scale", index250, codes250, succ, SCALE_PAIRS,
+                    BATCH)
+            if want("se_scale"):
+                # the reference's own headline shape: 1M x 100bp SE
+                profiles["se_scale"] = run_profile_single(
+                    "se_scale", index250, codes250, succ, 1_000_000,
+                    2 * BATCH)
             del index250, codes250
         if want("sam_out"):
             profiles["sam_out"] = run_profile("sam_out", index40, codes40,
@@ -286,9 +382,11 @@ def main() -> int:
     desc = {"main": "40Mbp synthetic index",
             "chr1_scale": "250Mbp synthetic index",
             "sam_out": "40Mbp synthetic index, SAM text output",
+            "se_scale": "250Mbp synthetic index, single-end",
             "human_scale": "3.1Gbp synthetic index"}.get(head, head)
+    kind = "SE" if head == "se_scale" else "PE"
     print(json.dumps({
-        "metric": f"PE 100bp end-to-end reads/s/chip ({desc}, "
+        "metric": f"{kind} 100bp end-to-end reads/s/chip ({desc}, "
                   "k=3 + DP rescue; warm-pass total-elapsed "
                   "rate incl. rescue flushes)",
         "value": main_rate,
