@@ -78,7 +78,8 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
              insert: int = 300, tol: int = 8, seed: int = 7) -> dict:
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
-    from soap3dp_tpu.pipeline.pair import RescueQueue, align_pair_batch
+    from soap3dp_tpu.pipeline.pair import (RescueQueue, align_pair_batch,
+                                           dispatch_pair_search)
 
     rng = np.random.default_rng(seed)
     left, right, lens, tp1, tp2 = simulate_pairs(
@@ -112,8 +113,11 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
 
     out = Collect()
     rq = RescueQueue(index, didx, opts)
+    # same dispatch path as the CLI (phased search where the index
+    # qualifies; pass a small lut_k to exercise it on a small genome)
+    pend = dispatch_pair_search(didx, b1, b2, opts)
     summary = align_pair_batch(index, didx, b1, b2, opts, out,
-                               rescue_queue=rq)
+                               pending_search=pend, rescue_queue=rq)
     summary.add(rq.flush(out))
 
     # primary record per (pair, end): first occurrence (phases emit
@@ -169,6 +173,7 @@ def main() -> int:
     sub_rate = float(args[1]) if len(args) > 1 else 0.01
     indel_rate = float(args[2]) if len(args) > 2 else 0.001
     mbp = float(args[3]) if len(args) > 3 else 5
+    lut_k = int(args[4]) if len(args) > 4 else 13
 
     rng = np.random.default_rng(3)
     n = int(mbp * 1e6)
@@ -177,7 +182,7 @@ def main() -> int:
         codes=codes, pac=pack_codes(codes), length=n, names=["chr1"],
         offsets=np.array([0, n], np.uint64),
         amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    index = build_index(genome, sa_rate=2)
+    index = build_index(genome, sa_rate=2, lut_k=lut_k)
     didx = device_index(index)
 
     import json
