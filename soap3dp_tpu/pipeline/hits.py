@@ -40,6 +40,21 @@ class HitTable:
         return np.diff(self.start)
 
 
+
+
+def _row_order(read, strand, pos, nmis) -> np.ndarray:
+    """Sort order for (read, nmis, pos, strand) — a packed u64 key +
+    one argsort (a 4-key lexsort = 4 stable sorts, measured 2.6x
+    slower at table sizes). Bits: read 24 | nmis 7 | pos 32 | strand 1.
+    """
+    key = ((read.astype(np.uint64) << 40)
+           | (np.clip(nmis, 0, 127).astype(np.uint64) << 33)
+           | (pos.astype(np.uint64) << 1)
+           | strand.astype(np.uint64))
+    return np.argsort(key, kind="stable")
+
+
+
 def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
                   lens: np.ndarray) -> HitTable:
     rows, tp, nm, va, flagged = hits.to_host()
@@ -51,7 +66,7 @@ def hits_to_table(hits: HitArrays, num_reads: int, index: Index,
     read = (rows - strand.astype(np.int32) * B).astype(np.int32)
     ok = ~crosses_boundary(index, pos, lens[read])
     read, strand, pos, nmis = read[ok], strand[ok], pos[ok], nmis[ok]
-    order = np.lexsort((strand, pos, nmis, read))
+    order = _row_order(read, strand, pos, nmis)
     read, strand, pos, nmis = (read[order], strand[order], pos[order],
                                nmis[order])
     # dedupe placements found by several seeds (identical placements
@@ -95,7 +110,7 @@ def merge_tables(a: HitTable, b: HitTable) -> HitTable:
     strand = np.concatenate([a.strand, b.strand])
     pos = np.concatenate([a.pos, b.pos])
     nmis = np.concatenate([a.nmis, b.nmis])
-    order = np.lexsort((strand, pos, nmis, read))
+    order = _row_order(read, strand, pos, nmis)
     read, strand, pos, nmis = (read[order], strand[order], pos[order],
                                nmis[order])
     if read.size:
@@ -124,7 +139,7 @@ def replace_reads(t: HitTable, sub: HitTable, ids: np.ndarray) -> HitTable:
     strand = np.concatenate([t.strand[keep], sub.strand])
     pos = np.concatenate([t.pos[keep], sub.pos])
     nmis = np.concatenate([t.nmis[keep], sub.nmis])
-    order = np.lexsort((strand, pos, nmis, read))
+    order = _row_order(read, strand, pos, nmis)
     read, strand, pos, nmis = (read[order], strand[order], pos[order],
                                nmis[order])
     start = np.searchsorted(read, np.arange(B + 1)).astype(np.int64)
