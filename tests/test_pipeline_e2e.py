@@ -525,14 +525,16 @@ def test_salvage_queue_matches_inline(small_index, small_device_index,
     assert r1 == r2
 
 
+@pytest.mark.parametrize("k", [2, 3, 4])
 def test_phased_search_matches_full(small_index, small_device_index,
-                                    small_genome, rng):
+                                    small_genome, rng, k):
     """The phased scheme (segments {0,1} first, escalate unresolved
     pairs to the remaining segments — the reference's staged phases,
     all_best_alignment alignment.cu:1236) must produce the same records
     as the one-shot full search: escalated pairs see the complete <= k
-    set by construction, and resolved pairs (best total <= 1) are
-    provably complete at their best level."""
+    set by construction, and resolved pairs are complete at their
+    phase-1 level. Parametrized over the -s range the bench and the
+    reference use (k = 2..4, DV-Kernel.cu:4505-4741)."""
     from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
     from soap3dp_tpu.pipeline.pair import align_pair_batch as apb
 
@@ -543,9 +545,9 @@ def test_phased_search_matches_full(small_index, small_device_index,
         p = int(rng.integers(100, len(codes) - 400))
         left = codes[p:p + L].copy()
         right = codes[p + insert - L:p + insert].copy()
-        # plant 0-2 mismatches per end: pairs with total >= 2 exercise
-        # the escalation path, total <= 1 the resolved path
-        for seq, m in ((left, i % 3), (right, (i // 3) % 3)):
+        # plant 0..k mismatches per end: pairs with ends >= 2 exercise
+        # the escalation path, <= 1 the resolved path
+        for seq, m in ((left, i % (k + 1)), (right, (i // 3) % (k + 1))):
             for pos in rng.choice(L, size=m, replace=False):
                 seq[pos] = (seq[pos] + 1 + rng.integers(3)) % 4
         seqs1.append(left)
@@ -555,7 +557,8 @@ def test_phased_search_matches_full(small_index, small_device_index,
 
     outs = []
     for phased in (False, True):
-        opts = AlignOptions(min_insert=100, max_insert=300)
+        opts = AlignOptions(min_insert=100, max_insert=300,
+                            soap3_mismatch_allow=k)
         pend = None
         if phased:
             lens1 = b1.lens.astype(np.int32)
