@@ -374,6 +374,11 @@ def main() -> int:
                         BATCH)
                     break
 
+    if not profiles:
+        print("[bench] no profiles ran (check BENCH_ONLY / cached "
+              "indexes, e.g. human_scale needs a built 3.1Gbp index)",
+              file=sys.stderr)
+        return 1
     if "main" in profiles:
         head, main_rate = "main", profiles["main"]["reads_per_s"]
     else:

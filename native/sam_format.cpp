@@ -59,14 +59,20 @@ int64_t sam_format_block(
   char* p = (char*)out;
   char* end = (char*)out + out_cap;
   for (int64_t i = 0; i < n; ++i) {
-    // worst case per record: name + cigar + 2*L + ~120 digits/tabs
-    int64_t need = (name_off[i + 1] - name_off[i])
-        + (cigar_off ? cigar_off[i + 1] - cigar_off[i] : 1)
-        + 2 * (has_seq ? L : 1) + 160;
-    if (end - p < need) return -1;
-
     int64_t f = flags[i];
     int64_t c = chroms[i];
+    // worst case per record: name + cigar + RNAME + RNEXT + 2*L +
+    // ~120 digits/tabs (reference names can be arbitrarily long —
+    // scaffold/contig headers — so they must be counted, not folded
+    // into the constant)
+    int64_t rn = (c >= 0) ? rname_off[c + 1] - rname_off[c] : 1;
+    int64_t mc = has_mate ? mate_chroms[i] : -1;
+    int64_t mrn = (mc >= 0 && mc != c)
+        ? rname_off[mc + 1] - rname_off[mc] : 1;
+    int64_t need = (name_off[i + 1] - name_off[i])
+        + (cigar_off ? cigar_off[i + 1] - cigar_off[i] : 1)
+        + rn + mrn + 2 * (has_seq ? L : 1) + 160;
+    if (end - p < need) return -1;
     // QNAME FLAG RNAME POS MAPQ CIGAR
     size_t nl = (size_t)(name_off[i + 1] - name_off[i]);
     std::memcpy(p, names + name_off[i], nl); p += nl;

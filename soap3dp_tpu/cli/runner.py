@@ -129,10 +129,7 @@ def _fix_quals(opts, *batches):
 
 
 def _slice_batch(b, sl: slice):
-    from soap3dp_tpu.io.fastq import ReadBatch
-
-    return ReadBatch(names=b.names[sl], codes=b.codes[sl], lens=b.lens[sl],
-                     quals=None if b.quals is None else b.quals[sl])
+    return b.take(sl)
 
 
 def _align_backoff(align_one, summary_cls, batches, min_reads=1024,

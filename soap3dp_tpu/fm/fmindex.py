@@ -275,7 +275,15 @@ def device_index_ladder(index: Index, sharding=None,
                     f"{index_hbm_bytes(index) / 1e9:.2f} GB of "
                     f"{hbm_budget / 1e9:.2f} GB HBM")
             didx = device_index(index, sharding=sharding)
-            jax.block_until_ready(didx.occ)
+            # force real allocation of every table: on the remote-relay
+            # backend jax.block_until_ready returns at ENQUEUE time, so
+            # an upload OOM would otherwise surface later, outside this
+            # handler, and the ladder would never fire. A 1-element D2H
+            # read per leaf is the only honest fence there.
+            for leaf in jax.tree_util.tree_leaves(didx):
+                if hasattr(leaf, "devices"):
+                    np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0)
+                               else leaf)
             return didx, index
         except (MemoryError, Exception) as e:  # noqa: BLE001 — see below
             # XlaRuntimeError's concrete class moved across jaxlib

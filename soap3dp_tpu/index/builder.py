@@ -266,13 +266,20 @@ def _popcount_u32(x: np.ndarray) -> np.ndarray:
     return (x * np.uint32(0x01010101)) >> 24
 
 
-def _upgrade_v1(path: str | os.PathLike, meta: dict) -> None:
-    """Derive the v2 flat arrays from a v1 directory, in place.
+def _upgrade_v1(path: str | os.PathLike, meta: dict) -> dict:
+    """Derive the v2 flat arrays from a v1 directory.
 
     v1 interleaved 128bp rows: fmi (nb, 12) = [occ4 | 8 BWT words],
     mark (nb, 5) = [rank | 4 bitvector words]. Pure vectorized numpy —
     no suffix-array rebuild — so even a human-scale upgrade is a
     sub-minute one-time job.
+
+    Returns the derived arrays (the current load uses them directly)
+    and best-effort persists them ATOMICALLY: each array lands via a
+    tmp file + os.replace, meta.json flips format_version LAST, and an
+    O_EXCL lock file keeps concurrent loaders (the multi-host CLI, N
+    processes sharing one index dir) from interleaving partial writes.
+    On a read-only index directory the upgrade simply stays in memory.
     """
     n = meta["n"]
     fmi = np.load(os.path.join(path, "fmi.npy"), mmap_mode="r")
@@ -291,8 +298,7 @@ def _upgrade_v1(path: str | os.PathLike, meta: dict) -> None:
         # v1; they sit at positions >= n so no occ entry w <= n//16 is
         # affected (entries past nw are sliced off below)
         occ[:, c] = (np.asarray(fmi[:, c], np.uint32)[:, None] + excl).reshape(-1)
-    np.save(os.path.join(path, "occ.npy"), occ[:nw].reshape(-1))
-    np.save(os.path.join(path, "bwt.npy"), words_all[:nw])
+    derived = {"occ": occ[:nw].reshape(-1).copy(), "bwt": words_all[:nw].copy()}
     del occ, words_all
 
     mark = np.load(os.path.join(path, "mark.npy"), mmap_mode="r")
@@ -302,21 +308,61 @@ def _upgrade_v1(path: str | os.PathLike, meta: dict) -> None:
     excl = np.zeros((nb, 4), dtype=np.uint32)
     np.cumsum(pm[:, :-1], axis=1, out=excl[:, 1:])
     rank = (np.asarray(mark[:, 0], np.uint32)[:, None] + excl).reshape(-1)
-    np.save(os.path.join(path, "mark_rank.npy"), rank[:nmw])
-    np.save(os.path.join(path, "mark_words.npy"), mwords[:nmw])
-    meta["format_version"] = FORMAT_VERSION
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    derived["mark_rank"] = rank[:nmw]
+    derived["mark_words"] = mwords[:nmw]
+    _persist_upgrade(path, meta, derived)
+    return derived
+
+
+def _persist_upgrade(path, meta: dict, derived: dict) -> None:
+    """Best-effort atomic write-back of the upgraded arrays."""
+    import sys
+
+    lock = os.path.join(path, "upgrade.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # another process is persisting; our in-memory copy is fine
+    except OSError as e:
+        print(f"[soap3dp] index v1->v2 upgrade kept in memory "
+              f"({e.__class__.__name__}: read-only index dir?)",
+              file=sys.stderr)
+        return
+    try:
+        os.close(fd)
+        for name, arr in derived.items():
+            # np.save appends .npy to suffix-less names; keep the tmp
+            # name explicit so os.replace targets the file np.save made
+            tmp = os.path.join(path, f"{name}.tmp{os.getpid()}.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, os.path.join(path, f"{name}.npy"))
+        meta2 = dict(meta)
+        meta2["format_version"] = FORMAT_VERSION
+        tmp = os.path.join(path, f"meta.json.tmp{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump(meta2, fh)
+        os.replace(tmp, os.path.join(path, "meta.json"))  # commit point
+    except OSError as e:
+        print(f"[soap3dp] index v1->v2 upgrade kept in memory ({e})",
+              file=sys.stderr)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def load_index(path: str | os.PathLike) -> Index:
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
+    derived = {}
     if meta["format_version"] == 1:
-        _upgrade_v1(path, meta)
+        derived = _upgrade_v1(path, meta)
+        meta["format_version"] = FORMAT_VERSION
     if meta["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported index format {meta['format_version']}")
-    arrays = {name: np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")
+    arrays = {name: derived.get(name) if name in derived
+              else np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")
               for name in _ARRAYS}
     # mmap keeps load cheap; materialize small arrays.
     return Index(

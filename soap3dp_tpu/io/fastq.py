@@ -38,6 +38,13 @@ class ReadBatch:
     def __len__(self) -> int:
         return self.codes.shape[0]
 
+    def take(self, ids) -> "ReadBatch":
+        """Row subset (fancy index or slice), names coerced to array."""
+        return ReadBatch(names=np.asarray(self.names)[ids],
+                         codes=self.codes[ids], lens=self.lens[ids],
+                         quals=None if self.quals is None
+                         else self.quals[ids])
+
 
 def _open(path):
     raw = open(path, "rb")

@@ -154,8 +154,10 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
     else:
         x0 = x1 = xm = flags
 
+    rn = np.asarray(rname_off)
+    rn_max = int((rn[1:] - rn[:-1]).max()) if len(rn) > 1 else 1
     cap = int(name_off[-1]) + int(cig_off[-1] if cig_off is not None else n) \
-        + n * (2 * L + 170)
+        + n * (2 * L + 2 * max(rn_max, 1) + 170)
     out = np.empty(cap, np.uint8)
     written = lib.sam_format_block(
         n, _p8(name_buf), _p64(name_off), _p64(flags),

@@ -84,21 +84,10 @@ class SuccinctWriter:
         mapqs = np.asarray(mapqs, np.uint8)
         nms = np.asarray(nms, np.int32)
 
-        def ragged(items):
-            """(lengths, flat uint8 source) — vectorized for 'S' arrays."""
-            a = np.asarray(items)
-            if a.dtype.kind == "S":
-                ln = np.char.str_len(a).astype(np.int64)
-                m = np.ascontiguousarray(a).view(np.uint8)
-                m = m.reshape(N, a.dtype.itemsize)
-                keep = np.arange(a.dtype.itemsize, dtype=np.int64)[None, :] \
-                    < ln[:, None]
-                return ln, m[keep]
-            ln = np.fromiter((len(x) for x in items), np.int64, N)
-            return ln, np.frombuffer(b"".join(items), np.uint8)
+        from soap3dp_tpu.io.ragged import flatten_bytes
 
-        qlen, src = ragged(names)
-        clen, csrc = ragged(cigars)
+        qlen, src = flatten_bytes(names)
+        clen, csrc = flatten_bytes(cigars)
         rec_len = 19 + qlen + clen
         off = np.zeros(N + 1, np.int64)
         np.cumsum(rec_len, out=off[1:])
@@ -325,16 +314,9 @@ class BamWriter:
         lens_a = np.asarray(seq_lens, np.int64)
         L = seq_codes.shape[1]
 
-        names_a = np.asarray(names)
-        if names_a.dtype.kind == "S":
-            qlen = np.char.str_len(names_a).astype(np.int64)
-            nsrc = np.ascontiguousarray(names_a).view(np.uint8).reshape(
-                N, names_a.dtype.itemsize)
-            nsrc = nsrc[np.arange(names_a.dtype.itemsize,
-                                  dtype=np.int64)[None, :] < qlen[:, None]]
-        else:
-            qlen = np.fromiter((len(n) for n in names), np.int64, N)
-            nsrc = np.frombuffer(b"".join(names), np.uint8)
+        from soap3dp_tpu.io.ragged import flatten_bytes
+
+        qlen, nsrc = flatten_bytes(names)
         sb = (lens_a + 1) // 2               # packed-seq bytes
         aux_n = 35 if tags is not None else 0
         # 4 block_size + 32 fixed + name+NUL + one cigar op + seq + qual

@@ -309,14 +309,11 @@ def align_pair_batch(
 
 
 def _subset_batch(b: ReadBatch, ids: np.ndarray) -> ReadBatch:
-    return ReadBatch(names=np.asarray(b.names)[ids], codes=b.codes[ids],
-                     lens=b.lens[ids],
-                     quals=None if b.quals is None else b.quals[ids])
+    return b.take(ids)
 
 
 def _trim_batch(b: ReadBatch, n: int) -> ReadBatch:
-    return ReadBatch(names=b.names[:n], codes=b.codes[:n], lens=b.lens[:n],
-                     quals=None if b.quals is None else b.quals[:n])
+    return b.take(slice(None, n))
 
 
 @dataclasses.dataclass
@@ -353,10 +350,15 @@ class Phase2Queue:
 
     def process(self, writer, rescue_queue=None) -> PairSummary:
         s = PairSummary()
-        items, self._items = self._items, []
-        for it in items:
-            _phase2_finish(self.index, self.didx, it, self.opts, self.sc,
-                           writer, rescue_queue, s)
+        # pop each item only after it finishes: if _phase2_finish raises
+        # (e.g. device OOM surfacing at the fetch), the failed item and
+        # everything behind it stay queued, so the caller's retry path
+        # (runner._align_backoff re-enters align_pair_batch, which calls
+        # process() again) neither drops nor double-emits those pairs
+        while self._items:
+            _phase2_finish(self.index, self.didx, self._items[0], self.opts,
+                           self.sc, writer, rescue_queue, s)
+            self._items.pop(0)
         return s
 
 
@@ -505,12 +507,7 @@ class RescueQueue:
     def add(self, b1: ReadBatch, b2: ReadBatch, ids: np.ndarray,
             t1: hits.HitTable, t2: hits.HitTable) -> None:
         self._items.append((
-            ReadBatch(names=np.asarray(b1.names)[ids], codes=b1.codes[ids],
-                      lens=b1.lens[ids],
-                      quals=None if b1.quals is None else b1.quals[ids]),
-            ReadBatch(names=np.asarray(b2.names)[ids], codes=b2.codes[ids],
-                      lens=b2.lens[ids],
-                      quals=None if b2.quals is None else b2.quals[ids]),
+            b1.take(ids), b2.take(ids),
             hits.subset_table(t1, ids), hits.subset_table(t2, ids)))
         self._pending += len(ids)
 
@@ -1157,6 +1154,9 @@ def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,
             np.full(len(dp_idx), max_win + 1, np.int32),
             np.zeros(len(dp_idx), np.int32),
             cutoff[dp_idx], sc, index_host=index)
+        # remap problem ids from dp_idx-subset space to full-candidate
+        # space so they share the direct branch's index space below
+        res = dataclasses.replace(res, problem=dp_idx[res.problem])
     else:
         z = np.zeros(0, np.int64)
         res = dp_rescue.DPResult(

@@ -213,10 +213,7 @@ class SalvageQueue:
         self._pending = 0
 
     def add(self, batch: ReadBatch, ids: np.ndarray) -> None:
-        self._items.append(ReadBatch(
-            names=np.asarray(batch.names)[ids], codes=batch.codes[ids],
-            lens=batch.lens[ids],
-            quals=None if batch.quals is None else batch.quals[ids]))
+        self._items.append(batch.take(ids))
         self._pending += len(ids)
 
     @property

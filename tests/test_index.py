@@ -296,3 +296,60 @@ def test_resumable_build_rejects_mismatched_genome(tmp_path, rng, monkeypatch):
     assert np.array_equal(np.asarray(out.sa_samples),
                           np.asarray(clean2.sa_samples))
     assert out.primary == clean2.primary
+
+
+def test_v1_upgrade_readonly_dir(tmp_path, small_index, monkeypatch):
+    """A v1 index on a read-only directory must still load (the upgrade
+    stays in memory when persisting fails — multi-host processes may
+    share one read-only index dir). Write failure is simulated by
+    monkeypatch (the suite runs as root, where chmod does not bind).
+    """
+    import json
+    import os
+    import shutil
+
+    # build a v1 dir by reusing the reconstruction from the test above
+    # (cheapest: run the upgrade test's setup via save + downgrade)
+    idx = small_index
+    path = tmp_path / "v1ro"
+    save_index(idx, path)
+    n = idx.n
+    nw, nmw = idx.bwt.shape[0], idx.mark_words.shape[0]
+    nb = n // 128 + 1
+    occ = np.asarray(idx.occ).reshape(nw, 4)
+    words = np.zeros(nb * 8, np.uint32)
+    words[:nw] = idx.bwt
+    fmi = np.zeros((nb, 12), np.uint32)
+    fmi[:, 4:12] = words.reshape(nb, 8)
+    for b in range(nb):
+        fmi[b, :4] = occ[min(b * 8, nw - 1), :]
+    mwords = np.zeros(nb * 4, np.uint32)
+    mwords[:nmw] = idx.mark_words
+    mark = np.zeros((nb, 5), np.uint32)
+    mark[:, 1:5] = mwords.reshape(nb, 4)
+    for b in range(nb):
+        mark[b, 0] = idx.mark_rank[min(b * 4, nmw - 1)]
+    np.save(path / "fmi.npy", fmi)
+    np.save(path / "mark.npy", mark)
+    for name in ("occ", "bwt", "mark_rank", "mark_words"):
+        os.unlink(path / f"{name}.npy")
+    meta = json.load(open(path / "meta.json"))
+    meta["format_version"] = 1
+    json.dump(meta, open(path / "meta.json", "w"))
+
+    from soap3dp_tpu.index import builder as bld
+
+    def deny_save(*a, **kw):
+        raise PermissionError("read-only filesystem (simulated)")
+
+    monkeypatch.setattr(bld.np, "save", deny_save)
+    try:
+        up = load_index(path)
+    finally:
+        monkeypatch.undo()
+    assert np.array_equal(up.occ, idx.occ)
+    assert np.array_equal(up.bwt, idx.bwt)
+    # dir untouched: still v1 on disk, and the lock was released
+    assert json.load(open(path / "meta.json"))["format_version"] == 1
+    assert not os.path.exists(path / "upgrade.lock")
+    shutil.rmtree(path)

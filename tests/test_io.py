@@ -533,3 +533,55 @@ def test_bam_block_writer_single_end(tmp_path, small_index, rng):
                    tags=(np.ones(n), np.zeros(n), np.zeros(n)))
     w2.close()
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_sam_native_long_reference_names(tmp_path, rng, monkeypatch):
+    """Reference names longer than the per-record slack must not
+    overflow the native formatter's output buffer (they are written
+    twice per record: RNAME and, for inter-chromosome mates, RNEXT) —
+    the capacity estimate has to count them."""
+    import numpy as np
+    from soap3dp_tpu.index.builder import build_index
+    from soap3dp_tpu.index.packing import PackedGenome
+    from soap3dp_tpu.io import sam_native
+    from soap3dp_tpu.io.sam import SamWriter
+    from soap3dp_tpu.utils import dna
+
+    if not sam_native.available():
+        import pytest
+        pytest.skip("no native compiler")
+
+    glen = 4000
+    codes = rng.integers(0, 4, glen).astype(np.uint8)
+    long1 = "scaffold_" + "x" * 400 + "_A"
+    long2 = "scaffold_" + "y" * 400 + "_B"
+    genome = PackedGenome(
+        codes=codes, pac=dna.pack_codes(codes), length=glen,
+        names=[long1, long2],
+        offsets=np.asarray([0, glen // 2, glen], np.uint64),
+        amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
+    index = build_index(genome, sa_rate=8, lut_k=6)
+
+    n, L = 32, 40
+    names = np.array([b"q%d" % i for i in range(n)])
+    flags = np.full(n, 0x63, np.int64)
+    chroms = (np.arange(n) % 2).astype(np.int64)
+    poss = rng.integers(0, 1000, n)
+    lens = np.full(n, L, np.int64)
+    args = (names, flags, chroms, poss, np.full(n, 60, np.int64),
+            [b"%dM" % L] * n, np.zeros(n, np.int32))
+    kw = dict(mate_chroms=1 - chroms, mate_poss=poss,  # inter-chrom mates
+              tlens=np.zeros(n, np.int64),
+              seq_codes=rng.integers(0, 4, (n, L)).astype(np.uint8),
+              seq_lens=lens, quals=None, tags=None)
+    outs = {}
+    for tag, native in (("native", True), ("numpy", False)):
+        if not native:
+            monkeypatch.setattr(sam_native, "available", lambda: False)
+        p = tmp_path / f"{tag}.sam"
+        w = SamWriter(str(p), index)
+        w.write_block(*args, **kw)
+        w.close()
+        outs[tag] = p.read_bytes()
+    assert outs["native"] == outs["numpy"]
+    assert long1.encode() in outs["native"]
