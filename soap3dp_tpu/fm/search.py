@@ -62,6 +62,8 @@ class SearchConfig:
     # (ProcessReadDoubleStrand2, CPUfunctions.cpp:555) — a bounded third
     # pass that decodes the full SA interval instead of dropping the read
     seed_slack: int = 2       # extra bases past log4(n) in the seed prefix
+    # (slack=1 measured 232k -> 121k reads/s at 250Mbp: the random-
+    # candidate tail at E[interval]~0.25/lane dominates the saved step)
 
     @property
     def num_seeds(self) -> int:
