@@ -226,6 +226,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
     from soap3dp_tpu.pipeline.single import (BatchSummary, SalvageQueue,
+                                             SinglePhase2Queue,
                                              align_single_batch,
                                              dispatch_single_search)
     from soap3dp_tpu.utils import timers
@@ -245,13 +246,16 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
     n_batches = -(-n_reads // batch)
     t0 = time.time()
     wq = SalvageQueue(index, didx, opts)
+    wp2 = SinglePhase2Queue(index, didx, opts)
     wpend = dispatch_single_search(didx, reads, opts)
     for _ in range(n_batches):
         align_single_batch(index, didx, reads, opts, out,
-                           salvage_queue=wq, pending_search=wpend)
+                           salvage_queue=wq, pending_search=wpend,
+                           phase2_queue=wp2)
         wpend = dispatch_single_search(didx, reads, opts)
         if wq.should_flush():
             wq.flush(out)
+    wp2.process(out, wq)
     wq.flush(out)
     print(f"[bench:{name}] warmup (compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -269,6 +273,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
         t0 = time.time()
         batch_times = []
         sq = SalvageQueue(index, didx, opts)
+        p2q = SinglePhase2Queue(index, didx, opts)
         pending = dispatch_single_search(didx, batches[0], opts)
         for i, sb in enumerate(batches):
             tb = time.time()
@@ -276,7 +281,10 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
                 if i + 1 < len(batches) else None
             total.add(align_single_batch(index, didx, sb, opts, out,
                                          salvage_queue=sq,
-                                         pending_search=pending))
+                                         pending_search=pending,
+                                         phase2_queue=p2q))
+            if i + 1 == len(batches):
+                total.add(p2q.process(out, sq))
             if sq.should_flush() or nxt is None:
                 total.add(sq.flush(out))
             pending = nxt

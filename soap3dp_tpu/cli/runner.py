@@ -205,7 +205,10 @@ def run_single(args) -> int:
                         local_only=hosts > 1)
     total = BatchSummary()
     with _writer(opts, index, opts.output_prefix) as w:
+        from soap3dp_tpu.pipeline.single import SinglePhase2Queue
+
         sq = SalvageQueue(index, didx, opts)
+        spq = SinglePhase2Queue(index, didx, opts)
         # double-buffered batch loop (same pattern as run_pair): the
         # next batch's device search runs during this batch's host work
         it = prefetch(_stride(read_single(args.reads, opts.batch_size,
@@ -228,7 +231,8 @@ def run_single(args) -> int:
             s = _align_backoff(
                 lambda b, p: align_single_batch(index, didx, b, opts, w,
                                                 salvage_queue=sq,
-                                                pending_search=p),
+                                                pending_search=p,
+                                                phase2_queue=spq),
                 BatchSummary, (cur,), pending=pending)
             total.add(s)
             if sq.should_flush():
@@ -237,6 +241,8 @@ def run_single(args) -> int:
                   f"{s.aligned_bwt} BWT-aligned ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
             cur, pending = nxt, nxt_pending
+        # drain the last batch's deferred escalations, then the salvage queue
+        total.add(spq.process(w, sq))
         total.add(sq.flush(w))
     _summary(opts, total)
     if hosts > 1:

@@ -23,7 +23,7 @@ from soap3dp_tpu.pipeline import cigar as cig
 from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
 from soap3dp_tpu.pipeline import options as opt
 from soap3dp_tpu.pipeline.options import AlignOptions
-from soap3dp_tpu.utils import dna
+from soap3dp_tpu.utils import dna, timers
 
 
 @dataclasses.dataclass
@@ -81,8 +81,9 @@ def _phase2_single_table(index, didx, batch, todo, t1, lens, k):
     nb = shapes.bucket(len(todo), min_size=512)
     sel = todo if len(todo) >= nb else np.concatenate(
         [todo, np.zeros(nb - len(todo), np.int64)])
-    raw = PendingSearch(didx, batch.codes[sel], lens[sel], cfg,
-                        seed_range=(2, cfg.num_seeds)).result()
+    with timers.stage("A2.single"):
+        raw = PendingSearch(didx, batch.codes[sel], lens[sel], cfg,
+                            seed_range=(2, cfg.num_seeds)).result()
     if np.asarray(raw.flagged).any():
         from soap3dp_tpu.fm import host_search
         raw = host_search.realign_flagged(index, raw, batch.codes[sel],
@@ -93,6 +94,82 @@ def _phase2_single_table(index, didx, batch, todo, t1, lens, k):
     return hits.replace_reads(t1, sub, todo)
 
 
+@dataclasses.dataclass
+class _SinglePhase2Item:
+    """A dispatched SE phase-2 search + everything needed to finish it."""
+
+    pend2: object
+    k: int
+    nt: int                # real escalated-read count (rest is padding)
+    nb: int                # bucketed/padded read count
+    sb: ReadBatch          # padded subset batch (nb reads)
+    lens: np.ndarray
+    tsub: hits.HitTable    # phase-1 hits of the escalated reads (nt)
+
+
+class SinglePhase2Queue:
+    """One-batch-deep pipeline for SE phase-2 completions (the SE
+    analog of pair.Phase2Queue): items added during batch i finish at
+    the start of batch i+1's align, hiding the phase-2 device time +
+    D2H sync behind a full batch of host work."""
+
+    def __init__(self, index, didx, opts: AlignOptions):
+        self.index = index
+        self.didx = didx
+        self.opts = opts
+        self._items: list[_SinglePhase2Item] = []
+
+    def add(self, item: _SinglePhase2Item) -> None:
+        self._items.append(item)
+
+    def process(self, writer, salvage_queue=None) -> BatchSummary:
+        s = BatchSummary()
+        # pop each item only after it finishes (see Phase2Queue.process)
+        while self._items:
+            _phase2_single_finish(self.index, self.didx, self._items[0],
+                                  self.opts, writer, salvage_queue, s)
+            self._items.pop(0)
+        return s
+
+
+def _dispatch_phase2_single(didx, batch, todo, table, lens, k
+                            ) -> _SinglePhase2Item:
+    from soap3dp_tpu.fm.search import PendingSearch
+    from soap3dp_tpu.utils import shapes
+
+    cfg = SearchConfig(k=k)
+    nb = shapes.bucket(len(todo), min_size=512)
+    sel = todo if len(todo) >= nb else np.concatenate(
+        [todo, np.zeros(nb - len(todo), np.int64)])
+    sb = batch.take(sel)
+    pend = PendingSearch(didx, sb.codes, lens[sel], cfg,
+                         seed_range=(2, cfg.num_seeds))
+    return _SinglePhase2Item(pend2=pend, k=k, nt=len(todo), nb=nb, sb=sb,
+                             lens=lens[sel],
+                             tsub=hits.subset_table(table, todo))
+
+
+def _phase2_single_finish(index, didx, it, opts, writer, salvage_queue,
+                          summary) -> None:
+    """Fetch a deferred SE phase-2 search, merge with the phase-1 hits
+    and run the full emission tail on the escalated subset."""
+    with timers.stage("A2.single"):
+        raw = it.pend2.result()
+    if np.asarray(raw.flagged).any():
+        from soap3dp_tpu.fm import host_search
+        raw = host_search.realign_flagged(index, raw, it.sb.codes,
+                                          it.lens, it.k)
+    # only reads newly still-flagged in phase 2 (phase-1 stills were
+    # counted when their batch was aligned)
+    summary.still_flagged += int(
+        (np.asarray(raw.flagged)[:it.nt] & ~it.tsub.flagged).sum())
+    tb = hits.hits_to_table(raw, it.nb, index, it.lens)
+    merged = hits.merge_tables(it.tsub,
+                               hits.subset_table(tb, np.arange(it.nt)))
+    _finish_single(index, didx, it.sb.take(slice(None, it.nt)), merged,
+                   opts, writer, salvage_queue, summary)
+
+
 def align_single_batch(
     index: Index,
     didx: DeviceIndex,
@@ -101,9 +178,14 @@ def align_single_batch(
     writer: SamWriter,
     salvage_queue: "SalvageQueue | None" = None,
     pending_search=None,
+    phase2_queue: "SinglePhase2Queue | None" = None,
 ) -> BatchSummary:
     B = len(batch)
     summary = BatchSummary(num_reads=B)
+    if phase2_queue is not None:
+        # finish the PREVIOUS batch's escalated reads first — their
+        # phase-2 wire landed while this batch was parsed/dispatched
+        summary.add(phase2_queue.process(writer, salvage_queue))
     lens = batch.lens.astype(np.int32)
     k = opts.effective_mismatches(int(lens.max()) if B else 0)
 
@@ -133,10 +215,36 @@ def align_single_batch(
             st0 = hits.read_stats(table, B)
             todo = np.flatnonzero((st0.best_nmis < 0)
                                   | (st0.best_nmis >= 2))
+            if todo.size and phase2_queue is not None:
+                # deferred path: dispatch phase 2 now, emit the
+                # resolved reads now, finish the rest next batch
+                item = _dispatch_phase2_single(didx, batch, todo, table,
+                                               lens, k)
+                phase2_queue.add(item)
+                summary.still_flagged += int(
+                    np.asarray(table.flagged).sum())
+                res_m = np.ones(B, bool)
+                res_m[todo] = False
+                res = np.flatnonzero(res_m)
+                _finish_single(index, didx, batch.take(res),
+                               hits.subset_table(table, res), opts,
+                               writer, salvage_queue, summary)
+                return summary
             if todo.size:
                 table = _phase2_single_table(index, didx, batch, todo,
                                              table, lens, k)
         summary.still_flagged += int(np.asarray(table.flagged).sum())
+    _finish_single(index, didx, batch, table, opts, writer, salvage_queue,
+                   summary)
+    return summary
+
+
+def _finish_single(index, didx, batch, table, opts, writer, salvage_queue,
+                   summary) -> None:
+    """Emission tail of the SE pipeline: output-mode selection, MAPQ,
+    gapless emission, DP salvage routing, unmapped records."""
+    B = len(batch)
+    lens = batch.lens.astype(np.int32)
     stats = hits.read_stats(table, B)
     selected, primary = hits.select_output(
         table, stats, B, opts.output_mode, opts.max_output_per_read,
@@ -187,7 +295,6 @@ def align_single_batch(
         _emit_unmapped_single(writer, batch, b)
         summary.unaligned += 1
         summary.num_records += 1
-    return summary
 
 
 def _emit_unmapped_single(writer, batch, b) -> None:

@@ -677,3 +677,54 @@ def test_phase2_queue_deferred(small_index, small_device_index,
     assert t_df.paired_bwt == t_in.paired_bwt
     assert t_df.num_records == t_in.num_records == 4 * N
     assert r_df == r_in
+
+
+def test_single_phase2_queue_deferred(small_index, small_device_index,
+                                      small_genome, rng):
+    """The deferred SE phase-2 path (escalations finished one batch
+    later + drained at end) must emit the same records as the inline
+    phased path."""
+    from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
+    from soap3dp_tpu.pipeline.single import (SalvageQueue,
+                                             SinglePhase2Queue,
+                                             align_single_batch as asb)
+
+    codes = small_genome.codes
+    L, N = 60, 40
+    seqs = []
+    for i in range(N):
+        p = int(rng.integers(100, len(codes) - 200))
+        s = codes[p:p + L].copy()
+        for pos in rng.choice(L, size=i % 3, replace=False):
+            s[pos] = (s[pos] + 1 + rng.integers(3)) % 4
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=L)
+    opts = AlignOptions()
+    cfg = SearchConfig(k=opts.effective_mismatches(L))
+
+    def run(deferred):
+        buf = io.BytesIO()
+        w = SamWriter(buf, small_index)
+        sq = SalvageQueue(small_index, small_device_index, opts)
+        p2q = SinglePhase2Queue(small_index, small_device_index, opts) \
+            if deferred else None
+        total = None
+        for _ in range(2):
+            pend = PendingSearch(small_device_index, batch.codes,
+                                 batch.lens.astype(np.int32), cfg,
+                                 seed_range=(0, 2))
+            s = asb(small_index, small_device_index, batch, opts, w,
+                    salvage_queue=sq, pending_search=pend,
+                    phase2_queue=p2q)
+            total = s if total is None else (total.add(s) or total)
+        if p2q is not None:
+            total.add(p2q.process(w, sq))
+        total.add(sq.flush(w))
+        return total, sorted(
+            l for l in buf.getvalue().decode().splitlines()
+            if not l.startswith("@"))
+
+    (t_in, r_in), (t_df, r_df) = run(False), run(True)
+    assert t_df.aligned_bwt == t_in.aligned_bwt
+    assert t_df.num_records == t_in.num_records == 2 * N
+    assert r_df == r_in
