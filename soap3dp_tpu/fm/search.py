@@ -433,6 +433,12 @@ class PendingSearch:
             self.reads_h = shapes.pad_rows(self.reads_h, Bp)
             self.lens_h = shapes.pad_rows(self.lens_h, Bp)
         self.B, self.L = self.reads_h.shape
+        # oriented row ids (2*B) pack into 24 bits on the result wire
+        # (HitArrays.to_host / _search_batch_wire); a bigger batch would
+        # silently alias read attribution, so fail loudly instead
+        assert 2 * self.B < (1 << 24), (
+            f"batch of {self.B} reads exceeds the 2^23-read wire limit; "
+            "lower batch_size")
         S = cfg.num_seeds
         if self.B == 0:
             return

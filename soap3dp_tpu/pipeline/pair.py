@@ -34,6 +34,7 @@ from soap3dp_tpu.pipeline import cigar as cig
 from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
 from soap3dp_tpu.pipeline import options as opt
 from soap3dp_tpu.pipeline.options import AlignOptions
+from soap3dp_tpu.utils import shapes
 from soap3dp_tpu.utils import timers
 from soap3dp_tpu.pipeline.single import _genome_codes, _qual_bytes, _seq_bytes
 
@@ -78,7 +79,8 @@ class PairCombos:
 
 def pair_hits(t1: hits.HitTable, t2: hits.HitTable, B: int,
               lens1: np.ndarray, lens2: np.ndarray,
-              opts: AlignOptions) -> PairCombos:
+              opts: AlignOptions, offsets: np.ndarray | None = None
+              ) -> PairCombos:
     """Insert-window pairing within each read pair (vectorized).
 
     The reference radix-sorts both ends' occurrence lists and
@@ -150,7 +152,9 @@ def pair_hits(t1: hits.HitTable, t2: hits.HitTable, B: int,
     l1 = lens1[pid].astype(np.int64)
     l2 = lens2[pid].astype(np.int64)
     left1 = p1 <= p2  # end1 is the left leg
-    ins = np.where(left1, p2 + l2 - p1, p1 + l1 - p2)
+    # outer span = the |TLEN| emitted downstream (the old p2+l2-p1 form
+    # understated it when one alignment contains the other)
+    ins = np.maximum(p1 + l1, p2 + l2) - np.minimum(p1, p2)
     ok_strand = np.where(
         left1,
         (s1 == opts.strand_left_leg) & (s2 == opts.strand_right_leg),
@@ -160,6 +164,12 @@ def pair_hits(t1: hits.HitTable, t2: hits.HitTable, B: int,
     ok_strand |= eq & (
         (s2 == opts.strand_left_leg) & (s1 == opts.strand_right_leg))
     ok = ok_strand & (ins >= opts.min_insert) & (ins <= opts.max_insert)
+    if offsets is not None and len(offsets) > 2:
+        # both ends must land on the same chromosome: the genome is a
+        # boundary-less concatenation, so a window join alone would
+        # pair reads straddling a chromosome junction as FLAG_PROPER
+        ok &= (np.searchsorted(offsets, p1, side="right")
+               == np.searchsorted(offsets, p2, side="right"))
     if not ok.any():
         return empty
     pid, row1, row2, ins = pid[ok], row1[ok], row2[ok], ins[ok]
@@ -236,7 +246,8 @@ def align_pair_batch(
     with timers.stage("A.pairing"):
         st1 = hits.read_stats(t1, B)
         st2 = hits.read_stats(t2, B)
-        combos = pair_hits(t1, t2, B, lens1, lens2, opts)
+        combos = pair_hits(t1, t2, B, lens1, lens2, opts,
+                           offsets=index.offsets)
         summary.capped_anchors += combos.capped
 
     done = np.zeros(B, bool)
@@ -396,7 +407,8 @@ def _phase2_finish(index, didx, it: _Phase2Item, opts, sc, writer,
     with timers.stage("A.pairing"):
         mst1 = hits.read_stats(mt1, nt)
         mst2 = hits.read_stats(mt2, nt)
-        combos2 = pair_hits(mt1, mt2, nt, sl1, sl2, opts)
+        combos2 = pair_hits(mt1, mt2, nt, sl1, sl2, opts,
+                            offsets=index.offsets)
         summary.capped_anchors += combos2.capped
     paired2 = np.flatnonzero(np.diff(combos2.start) > 0)
     if paired2.size:
@@ -423,7 +435,6 @@ def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
     pairs' reads, padded to a bucketed row count to stabilize compile
     shapes (pad rows repeat pair 0 and are trimmed after)."""
     from soap3dp_tpu.fm.search import PendingSearch
-    from soap3dp_tpu.utils import shapes
 
     cfg = SearchConfig(k=k)
     nb = shapes.bucket(len(todo), min_size=512)
@@ -432,7 +443,7 @@ def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
     L = max(b1.codes.shape[1], b2.codes.shape[1])
 
     def pad(c):
-        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+        return shapes.pad_cols(c, L)
 
     reads = np.concatenate([pad(b1.codes)[sel], pad(b2.codes)[sel]])
     lens = np.concatenate([lens1[sel], lens2[sel]])
@@ -546,7 +557,7 @@ def _concat_batches(batches: list[ReadBatch]) -> ReadBatch:
     L = max(b.codes.shape[1] for b in batches)
 
     def pad(c):
-        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+        return shapes.pad_cols(c, L)
 
     names = np.concatenate([np.asarray(b.names, dtype="S")
                             for b in batches])
@@ -600,7 +611,7 @@ def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):
     L = max(b1.codes.shape[1], b2.codes.shape[1])
 
     def pad(c):
-        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+        return shapes.pad_cols(c, L)
 
     reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
     lens_all = np.concatenate([lens1, lens2])
@@ -618,7 +629,7 @@ def _search_both_ends(didx, b1, b2, lens1, lens2, cfg, pending=None):
     L = max(b1.codes.shape[1], b2.codes.shape[1])
 
     def pad(c):
-        return c if c.shape[1] == L else np.pad(c, ((0, 0), (0, L - c.shape[1])))
+        return shapes.pad_cols(c, L)
 
     if pending is None:
         reads_all = np.concatenate([pad(b1.codes), pad(b2.codes)])
@@ -1005,7 +1016,8 @@ def _half_seeded_round(index, didx, b1, b2, t1, t2, st1, st2, half,
                         lens2[sel[cand.read[rep]]]).astype(np.int64)
         mlen = mlens[cand.read[rep]].astype(np.int64)
         left_a = apos <= cpos
-        ins = np.where(left_a, cpos + mlen - apos, apos + alen - cpos)
+        ins = (np.maximum(apos + alen, cpos + mlen)
+               - np.minimum(apos, cpos))  # outer span, as in pair_hits
         okj = np.where(
             left_a,
             (astr == opts.strand_left_leg) & (cstr == opts.strand_right_leg),
@@ -1096,8 +1108,16 @@ def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,
         we = np.where(is_left, apos + u,
                       np.minimum(aend - v + mate_len, aend - 1))
         mstr = np.where(is_left, opts.strand_right_leg, opts.strand_left_leg)
-        ws = np.maximum(ws, 0)
-        we = np.minimum(we, n)
+        # clamp the mate window to the ANCHOR's chromosome: the genome
+        # is a boundary-less concatenation, so an unclamped window near
+        # a junction would DP the mate into the neighboring chromosome
+        # and emit a FLAG_PROPER cross-chromosome pair
+        ci = np.searchsorted(index.offsets, apos, side="right")
+        c_lo = index.offsets[np.maximum(ci - 1, 0)].astype(np.int64)
+        c_hi = index.offsets[np.minimum(ci, len(index.offsets) - 1)
+                             ].astype(np.int64)
+        ws = np.clip(ws, c_lo, c_hi)
+        we = np.clip(we, c_lo, c_hi)
         ok = (is_left | is_right) & (we - ws >= mate_len // 2)
         if ok.any():
             parts.append((rep[ok].astype(np.int32),
@@ -1275,8 +1295,7 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     max_len = int(max(b1.codes.shape[1], b2.codes.shape[1]))  # static
 
     def pad(c):
-        return c if c.shape[1] == max_len else \
-            np.pad(c, ((0, 0), (0, max_len - c.shape[1])))
+        return shapes.pad_cols(c, max_len)
 
     sub1 = pad(b1.codes)[deep]
     sub2 = pad(b2.codes)[deep]
@@ -1325,13 +1344,17 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     l1 = sl1[pid].astype(np.int64)
     l2 = sl2[pid].astype(np.int64)
     left1 = p1 <= p2
-    ins = np.where(left1, p2 + l2 - p1, p1 + l1 - p2)
+    ins = np.maximum(p1 + l1, p2 + l2) - np.minimum(p1, p2)  # outer span
     okc = np.where(
         left1,
         (s1c == opts.strand_left_leg) & (s2c == opts.strand_right_leg),
         (s2c == opts.strand_left_leg) & (s1c == opts.strand_right_leg))
     margin = dp_rescue.dp_margin(np.maximum(l1, l2))
     okc &= (ins >= v - margin) & (ins <= u + margin)
+    if len(index.offsets) > 2:
+        # candidate loci must share a chromosome (see pair_hits)
+        okc &= (np.searchsorted(index.offsets, p1, side="right")
+                == np.searchsorted(index.offsets, p2, side="right"))
     if not okc.any():
         return np.zeros(0, int)
     sel = np.flatnonzero(okc)
@@ -1353,8 +1376,14 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
     for (cc, sl, ii, off) in ((c1, sl1, i1, 0), (c2, sl2, i2, Bd)):
         mg = dp_rescue.dp_margin(sl[rd])
         pos = cc.pos[ii]
-        ws = np.maximum(pos - mg, 0)
-        wl = np.minimum(sl[rd] + 2 * mg, int(index.n) - ws).astype(np.int32)
+        # clamp each end's DP window to its candidate's chromosome
+        # (same junction reasoning as the half-rescue windows)
+        ci = np.searchsorted(index.offsets, pos, side="right")
+        c_lo = index.offsets[np.maximum(ci - 1, 0)].astype(np.int64)
+        c_hi = index.offsets[np.minimum(ci, len(index.offsets) - 1)
+                             ].astype(np.int64)
+        ws = np.clip(pos.astype(np.int64) - mg, c_lo, c_hi)
+        wl = np.minimum(sl[rd] + 2 * mg, c_hi - ws).astype(np.int32)
         cread.append(rd + off)
         cstrand.append(cc.strand[ii])
         cpos.append(pos)
@@ -1426,8 +1455,7 @@ def _single_salvage_pairs(index, didx, b1, b2, leftover, lens1, lens2,
     Lc = max(b1.codes.shape[1], b2.codes.shape[1])
 
     def pad(c):
-        return c if c.shape[1] == Lc else \
-            np.pad(c, ((0, 0), (0, Lc - c.shape[1])))
+        return shapes.pad_cols(c, Lc)
 
     nlo = len(leftover)
     reads_c = np.concatenate([pad(b1.codes)[leftover], pad(b2.codes)[leftover]])
@@ -1493,14 +1521,29 @@ def _salvage_reads(index, didx, reads, sl, opts, sc) -> dict[int, EndInfo]:
         np.full(M, max_win + 1, np.int32), np.zeros(M, np.int32),
         opts.dp_cutoff(sl[cand.read]), sc, index_host=index)
     out: dict[int, EndInfo] = {}
-    order = np.lexsort((res.pos, -res.score, res.read))
-    rr = res.read[order]
-    firstr = np.concatenate([[True], rr[1:] != rr[:-1]]) if len(rr) else \
-        np.zeros(0, bool)
-    for i in order[firstr]:
-        b = int(res.read[i])
-        e = _dp_end(index, res, i, int(sl[b]), opts)
-        e.mapq = int(mapq.bwa_like_single(
-            np.asarray(max(int(res.n_best_cells[i]), 1)), np.asarray(0))[()])
+    # dedupe identical placements, group per read best-first, and score
+    # with the DP MAPQ (best/second-best ratio) — the same scheme the
+    # SE salvage uses (_dp_salvage; getMapQualScoreForSingleDP analog,
+    # BGS-IO.cpp:2370-2412), so phase-E salvaged ends no longer diverge
+    order = np.lexsort((res.pos, res.strand, -res.score, res.read))
+    by_read: dict[int, list[int]] = {}
+    seen: set[tuple] = set()
+    for i in order:
+        key = (int(res.read[i]), int(res.strand[i]), int(res.pos[i]))
+        if key in seen:
+            continue
+        seen.add(key)
+        by_read.setdefault(int(res.read[i]), []).append(int(i))
+    for b, rows in by_read.items():
+        best = int(res.score[rows[0]])
+        x0 = sum(1 for i in rows if int(res.score[i]) == best)
+        x1 = len(rows) - x0
+        rlen = int(sl[b])
+        e = _dp_end(index, res, rows[0], rlen, opts)
+        e.mapq = int(mapq.dp_single(
+            rlen * opts.match_score, 20, x0, 0, x1, best,
+            int(res.score[rows[1]]) if len(rows) > 1 else 0,
+            int(opts.dp_cutoff(rlen)), opts.max_mapq, opts.min_mapq,
+            opts.bwa_like_score)[()])
         out[b] = e
     return out

@@ -72,25 +72,11 @@ def dispatch_single_search(didx, batch: ReadBatch, opts: AlignOptions):
 
 
 def _phase2_single_table(index, didx, batch, todo, t1, lens, k):
-    """Search segments {2..k} for the unresolved reads and splice the
-    merged (phase-1 + phase-2 = complete <= k) rows into the table."""
-    from soap3dp_tpu.fm.search import PendingSearch
-    from soap3dp_tpu.utils import shapes
-
-    cfg = SearchConfig(k=k)
-    nb = shapes.bucket(len(todo), min_size=512)
-    sel = todo if len(todo) >= nb else np.concatenate(
-        [todo, np.zeros(nb - len(todo), np.int64)])
-    with timers.stage("A2.single"):
-        raw = PendingSearch(didx, batch.codes[sel], lens[sel], cfg,
-                            seed_range=(2, cfg.num_seeds)).result()
-    if np.asarray(raw.flagged).any():
-        from soap3dp_tpu.fm import host_search
-        raw = host_search.realign_flagged(index, raw, batch.codes[sel],
-                                          lens[sel], k)
-    tb = hits.hits_to_table(raw, nb, index, lens[sel])
-    sub = hits.merge_tables(hits.subset_table(t1, todo),
-                            hits.subset_table(tb, np.arange(len(todo))))
+    """Synchronous phase-2 (the no-queue path, e.g. the embeddable
+    API): dispatch + fetch + merge in place, splicing the complete
+    <= k rows of the unresolved reads back into the full table."""
+    it = _dispatch_phase2_single(didx, batch, todo, t1, lens, k)
+    sub = _phase2_fetch_merge(index, it)
     return hits.replace_reads(t1, sub, todo)
 
 
@@ -149,23 +135,31 @@ def _dispatch_phase2_single(didx, batch, todo, table, lens, k
                              tsub=hits.subset_table(table, todo))
 
 
-def _phase2_single_finish(index, didx, it, opts, writer, salvage_queue,
-                          summary) -> None:
-    """Fetch a deferred SE phase-2 search, merge with the phase-1 hits
-    and run the full emission tail on the escalated subset."""
+def _phase2_fetch_merge(index, it: _SinglePhase2Item,
+                        summary: "BatchSummary | None" = None) -> hits.HitTable:
+    """Fetch a dispatched SE phase-2 search and merge with the phase-1
+    hits of the escalated reads (renumbered 0..nt-1)."""
     with timers.stage("A2.single"):
         raw = it.pend2.result()
     if np.asarray(raw.flagged).any():
         from soap3dp_tpu.fm import host_search
         raw = host_search.realign_flagged(index, raw, it.sb.codes,
                                           it.lens, it.k)
-    # only reads newly still-flagged in phase 2 (phase-1 stills were
-    # counted when their batch was aligned)
-    summary.still_flagged += int(
-        (np.asarray(raw.flagged)[:it.nt] & ~it.tsub.flagged).sum())
+    if summary is not None:
+        # only reads newly still-flagged in phase 2 (phase-1 stills
+        # were counted when their batch was aligned)
+        summary.still_flagged += int(
+            (np.asarray(raw.flagged)[:it.nt] & ~it.tsub.flagged).sum())
     tb = hits.hits_to_table(raw, it.nb, index, it.lens)
-    merged = hits.merge_tables(it.tsub,
-                               hits.subset_table(tb, np.arange(it.nt)))
+    return hits.merge_tables(it.tsub,
+                             hits.subset_table(tb, np.arange(it.nt)))
+
+
+def _phase2_single_finish(index, didx, it, opts, writer, salvage_queue,
+                          summary) -> None:
+    """Fetch a deferred SE phase-2 search, merge with the phase-1 hits
+    and run the full emission tail on the escalated subset."""
+    merged = _phase2_fetch_merge(index, it, summary)
     _finish_single(index, didx, it.sb.take(slice(None, it.nt)), merged,
                    opts, writer, salvage_queue, summary)
 
@@ -454,7 +448,7 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
     win_len = (lens[cand.read] + 2 * margin).astype(np.int64)
     n = int(index.n)
     win_len = np.minimum(win_len, n - win_start).astype(np.int32)
-    max_win = int(max_len + 2 * int(dp_margin_scalar(max_len)))
+    max_win = int(max_len + 2 * int(dp_rescue.dp_margin(max_len)))
     sc = DPScores(opts.match_score, opts.mismatch_score,
                   opts.gap_open_score, opts.gap_extend_score)
     M = cand.read.shape[0]
@@ -499,10 +493,6 @@ def _dp_salvage(index, didx, batch, rescue, opts, writer) -> np.ndarray:
         writer.write(rec)
         aligned_reads.append(b)
     return np.asarray(aligned_reads, int)
-
-
-def dp_margin_scalar(rlen: int) -> int:
-    return rlen >> 2 if rlen > 100 else 25
 
 
 def _dp_record(index, batch, res, rows, b, mq, x0, x1, opts, writer=None) -> SamRecord:

@@ -35,3 +35,11 @@ def pad_rows(arr: np.ndarray, size: int, fill_from_first: bool = True) -> np.nda
     else:
         pad = np.zeros(pad_shape, dtype=arr.dtype)
     return np.concatenate([np.asarray(arr), pad], axis=0)
+
+
+def pad_cols(arr: np.ndarray, width: int) -> np.ndarray:
+    """Zero-pad axis 1 of a 2-D array to `width` columns (code 0 = 'A',
+    masked by per-read lengths in every consumer)."""
+    if arr.shape[1] == width:
+        return arr
+    return np.pad(arr, ((0, 0), (0, width - arr.shape[1])))

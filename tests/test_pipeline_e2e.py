@@ -728,3 +728,31 @@ def test_single_phase2_queue_deferred(small_index, small_device_index,
     assert t_df.aligned_bwt == t_in.aligned_bwt
     assert t_df.num_records == t_in.num_records == 2 * N
     assert r_df == r_in
+
+
+def test_no_cross_chromosome_proper_pairs(rng):
+    """Ends landing on different chromosomes within the global insert
+    window must NOT pair as FLAG_PROPER: the concatenated genome has no
+    separators, so pairing must compare chromosomes explicitly."""
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.index.builder import build_index
+    from tests.conftest import make_genome
+
+    g = make_genome(rng, 8000, num_chrom=2)  # boundary at 4000
+    index = build_index(g, sa_rate=4, lut_k=6)
+    didx = device_index(index)
+    codes = g.codes
+    L = 50
+    # end1 ends 60bp before the chr1/chr2 boundary; end2 begins 90bp
+    # after it: global distance ~200 (within [100, 300]) but the
+    # chromosomes differ
+    p1 = 4000 - 60 - L
+    p2 = 4000 + 90
+    b1 = make_batch([codes[p1:p1 + L].copy()])
+    b2 = make_batch([dna.revcomp_codes(codes[p2:p2 + L])])
+    summary, recs = run_pair(index, didx, b1, b2,
+                             min_insert=100, max_insert=300,
+                             max_mismatches=2)  # -s: no DP rescue
+    assert summary.paired_bwt == 0
+    for r in recs:
+        assert not (r["flag"] & 0x2), f"cross-chromosome proper pair: {r}"
