@@ -756,3 +756,25 @@ def test_no_cross_chromosome_proper_pairs(rng):
     assert summary.paired_bwt == 0
     for r in recs:
         assert not (r["flag"] & 0x2), f"cross-chromosome proper pair: {r}"
+
+
+def test_mixed_length_pair_outer_span_insert(small_index,
+                                             small_device_index,
+                                             small_genome, rng):
+    """Insert filtering uses the outer span (the emitted |TLEN|): a
+    short mate contained in the long read's span must pair when the
+    outer span is inside the window (the old p2+l2-p1 form understated
+    it and disagreed with TLEN)."""
+    codes = small_genome.codes
+    l1, l2 = 60, 24
+    p = int(rng.integers(100, len(codes) - 300))
+    # end2 (reverse leg) placed INSIDE end1's span: outer span == l1
+    p2 = p + l1 - l2 - 4
+    b1 = make_batch([codes[p:p + l1].copy()], max_len=64)
+    b2 = make_batch([dna.revcomp_codes(codes[p2:p2 + l2])], max_len=64)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             min_insert=l1 - 5, max_insert=l1 + 5,
+                             max_mismatches=0)
+    assert summary.paired_bwt == 1
+    r1 = next(r for r in recs if r["flag"] & 0x40)
+    assert abs(r1["tlen"]) == l1  # outer span, == the filter's insert
