@@ -322,6 +322,15 @@ def _persist_upgrade(path, meta: dict, derived: dict) -> None:
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
+        try:  # self-heal a lock orphaned by a crashed upgrader
+            import time
+            if time.time() - os.path.getmtime(lock) > 600:
+                os.unlink(lock)
+                print(f"[soap3dp] removed stale {lock}; the v1->v2 "
+                      "upgrade will persist on the next load",
+                      file=sys.stderr)
+        except OSError:
+            pass
         return  # another process is persisting; our in-memory copy is fine
     except OSError as e:
         print(f"[soap3dp] index v1->v2 upgrade kept in memory "
@@ -435,13 +444,22 @@ _SA_TMP = "sa.tmp.npy"
 
 
 def _genome_fingerprint(genome: PackedGenome, sa_rate: int, lut_k: int) -> dict:
-    """Cheap identity check so a resume never mixes two genomes/configs."""
+    """Cheap identity check so a resume never mixes two genomes/configs.
+
+    64 evenly spaced 64KB windows (plus head/tail and the length) are
+    CRC'd, so an edit anywhere beyond ~48Mbp granularity is caught —
+    head/tail alone missed middle-of-chromosome changes."""
     import zlib
     c = genome.codes
-    head = zlib.crc32(np.ascontiguousarray(c[:1_000_000]).tobytes())
-    tail = zlib.crc32(np.ascontiguousarray(c[-1_000_000:]).tobytes())
+    n = len(c)
+    crc = zlib.crc32(np.ascontiguousarray(c[:1_000_000]).tobytes())
+    crc = zlib.crc32(np.ascontiguousarray(c[-1_000_000:]).tobytes(), crc)
+    for i in range(64):
+        st = (n * i) // 64
+        crc = zlib.crc32(
+            np.ascontiguousarray(c[st:st + 65536]).tobytes(), crc)
     return {"n": int(genome.length), "sa_rate": int(sa_rate),
-            "lut_k": int(lut_k), "crc_head": head, "crc_tail": tail}
+            "lut_k": int(lut_k), "crc": crc}
 
 
 def build_index_to(
@@ -474,7 +492,26 @@ def build_index_to(
     os.makedirs(path, exist_ok=True)
     state_path = os.path.join(path, _STATE_FILE)
     if os.path.exists(os.path.join(path, "meta.json")) and not os.path.exists(state_path):
-        return load_index(path)  # already complete
+        # already complete — but only hand it back if it IS the index
+        # being requested (same n/sa_rate/lut_k, and same genome when
+        # the build recorded a fingerprint)
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        fp = _genome_fingerprint(genome, sa_rate, lut_k)
+        same = (meta.get("n") == fp["n"]
+                and meta.get("sa_rate") == fp["sa_rate"]
+                and meta.get("lut_k") == fp["lut_k"]
+                and meta.get("fingerprint", fp["crc"]) == fp["crc"])
+        if not same:
+            raise ValueError(
+                f"{path} already holds a different index "
+                f"(n={meta.get('n')}, sa_rate={meta.get('sa_rate')}, "
+                f"lut_k={meta.get('lut_k')}); remove it or pick "
+                "another path")
+        leftover = os.path.join(path, _SA_TMP)
+        if os.path.exists(leftover):  # crash between the final removes
+            os.remove(leftover)
+        return load_index(path)
 
     fp = _genome_fingerprint(genome, sa_rate, lut_k)
     state: dict = {"fingerprint": fp, "done": []}
@@ -565,10 +602,14 @@ def build_index_to(
         "sa_rate": sa_rate,
         "lut_k": lut_k,
         "names": genome.names,
+        "fingerprint": fp["crc"],
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
-    os.remove(sa_path)
+    # state first: a crash between the removes must leave the dir in
+    # the "complete" shape (meta, no state), not a broken resume where
+    # the sa stage is marked done but sa.tmp.npy is gone
     os.remove(state_path)
+    os.remove(sa_path)
     _log("done")
     return load_index(path)

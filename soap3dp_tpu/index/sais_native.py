@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sys
 import threading
 
@@ -35,17 +34,9 @@ def _load():
         so = os.path.join(_native_dir(), "libsais.so")
         if not os.path.exists(src):
             return None
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", so, src],
-                    check=True, capture_output=True)
-            except (OSError, subprocess.CalledProcessError) as e:
-                print(f"[soap3dp] native sais build failed ({e}); "
-                      "using numpy fallback", file=sys.stderr)
-                return None
+        from soap3dp_tpu.utils.nativebuild import build_native_lib
+        if not build_native_lib(src, so, "sais", "numpy fallback"):
+            return None
         lib = ctypes.CDLL(so)
         lib.sais_u8.restype = ctypes.c_int
         lib.sais_u8.argtypes = [

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sys
 import threading
 
@@ -36,17 +35,9 @@ def _load():
         so = os.path.join(_native_dir(), "libfastqreader.so")
         if not os.path.exists(src):
             return None
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", so, src, "-lz"],
-                    check=True, capture_output=True)
-            except (OSError, subprocess.CalledProcessError) as e:
-                print(f"[soap3dp] native fastq reader build failed ({e}); "
-                      "using python parser", file=sys.stderr)
-                return None
+        from soap3dp_tpu.utils.nativebuild import build_native_lib
+        if not build_native_lib(src, so, "fastq reader", "python parser", extra=["-lz"]):
+            return None
         lib = ctypes.CDLL(so)
         lib.fqr_open.restype = ctypes.c_void_p
         lib.fqr_open.argtypes = [ctypes.c_char_p]

@@ -34,3 +34,12 @@ def offsets_of(lengths: np.ndarray) -> np.ndarray:
     off = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=off[1:])
     return off
+
+
+def scatter_idx(base: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat destination indices for a ragged copy: item i's bytes land
+    at base[i], base[i]+1, ... base[i]+lengths[i]-1."""
+    total = int(lengths.sum())
+    return np.repeat(base, lengths) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths))

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sys
 import threading
 
@@ -40,17 +39,9 @@ def _load():
         so = os.path.join(_native_dir(), "libsamformat.so")
         if not os.path.exists(src):
             return None
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", so, src],
-                    check=True, capture_output=True)
-            except (OSError, subprocess.CalledProcessError) as e:
-                print(f"[soap3dp] native sam formatter build failed ({e}); "
-                      "using numpy assembly", file=sys.stderr)
-                return None
+        from soap3dp_tpu.utils.nativebuild import build_native_lib
+        if not build_native_lib(src, so, "sam formatter", "numpy assembly"):
+            return None
         lib = ctypes.CDLL(so)
         lib.sam_format_block.restype = ctypes.c_int64
         lib.sam_format_block.argtypes = [

@@ -4,7 +4,7 @@ Succinct format (-b 1): the rebuild's analog of the reference's .gout
 binary records (writer OCCFlushCacheDefault, BGS-IO.cpp; decoder
 BGS-View.cpp:110-165). Our container:
 
-  magic "T3G1" | u32 num_chroms | per chrom: u16 namelen + name
+  magic "T3G1" | u32 num_chroms | per chrom: u16 namelen + u64 length + name
   then records:
   u16 qname_len | qname | u16 flag | i32 chrom | u32 pos | u8 mapq |
   u16 cigar_len | cigar | i32 nm
@@ -84,13 +84,13 @@ class SuccinctWriter:
         mapqs = np.asarray(mapqs, np.uint8)
         nms = np.asarray(nms, np.int32)
 
-        from soap3dp_tpu.io.ragged import flatten_bytes
+        from soap3dp_tpu.io.ragged import (flatten_bytes, offsets_of,
+                                           scatter_idx)
 
         qlen, src = flatten_bytes(names)
         clen, csrc = flatten_bytes(cigars)
         rec_len = 19 + qlen + clen
-        off = np.zeros(N + 1, np.int64)
-        np.cumsum(rec_len, out=off[1:])
+        off = offsets_of(rec_len)
         buf = np.zeros(off[-1], np.uint8)
 
         def put_u16(pos, val):
@@ -104,11 +104,7 @@ class SuccinctWriter:
 
         o = off[:-1]
         put_u16(o, qlen.astype(np.uint16))
-        # ragged qname copy
-        dst = np.repeat(o + 2, qlen) + (np.arange(len(src))
-                                        - np.repeat(np.concatenate(
-                                            ([0], np.cumsum(qlen)[:-1])), qlen))
-        buf[dst] = src
+        buf[scatter_idx(o + 2, qlen)] = src  # ragged qname copy
         f0 = o + 2 + qlen
         put_u16(f0, flags)
         put_u32(f0 + 2, chroms.view(np.uint32) if chroms.dtype == np.int32
@@ -116,10 +112,7 @@ class SuccinctWriter:
         put_u32(f0 + 6, poss)
         buf[f0 + 10] = mapqs
         put_u16(f0 + 11, clen.astype(np.uint16))
-        cdst = np.repeat(f0 + 13, clen) + (np.arange(len(csrc))
-                                           - np.repeat(np.concatenate(
-                                               ([0], np.cumsum(clen)[:-1])), clen))
-        buf[cdst] = csrc
+        buf[scatter_idx(f0 + 13, clen)] = csrc
         put_u32(f0 + 13 + clen, nms.view(np.uint32))
         self._fh.write(buf.tobytes())
 
@@ -202,6 +195,36 @@ def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
 # make the same tradeoff for intermediate BAMs; override with
 # SOAP3DP_BGZF_LEVEL for archival output)
 BGZF_LEVEL = int(os.environ.get("SOAP3DP_BGZF_LEVEL", "2"))
+
+
+_QNAME_WARNED = False
+
+
+def _cap_qnames(names):
+    """BAM caps l_read_name at 255 including the NUL: truncate longer
+    qnames with a one-time warning (the reference caps names at its ini
+    MaxLenReadName the same way) instead of wrapping the u8 length."""
+    global _QNAME_WARNED
+    a = np.asarray(names)
+    if a.dtype.kind == "S":
+        if a.dtype.itemsize <= 254:
+            return a
+        if np.char.str_len(a).max(initial=0) <= 254:
+            return a
+        a = np.ascontiguousarray(a)
+        capped = np.ascontiguousarray(
+            a.view(np.uint8).reshape(len(a), -1)[:, :254]
+        ).view("S254").reshape(len(a))
+    else:
+        if all(len(x) <= 254 for x in names):
+            return names
+        capped = [x[:254] for x in names]
+    if not _QNAME_WARNED:
+        import sys
+        print("[soap3dp] warning: read names longer than 254 bytes "
+              "truncated in BAM output", file=sys.stderr)
+        _QNAME_WARNED = True
+    return capped
 
 
 def _bgzf_block(payload: bytes) -> bytes:
@@ -287,7 +310,7 @@ class BamWriter:
                 aux += tag.encode() + b"i" + struct.pack("<i", int(val))
             else:
                 aux += tag.encode() + b"Z" + val.encode() + b"\x00"
-        name = rec.qname + b"\x00"
+        name = bytes(_cap_qnames([rec.qname])[0]) + b"\x00"
         body = struct.pack(
             "<iiBBHHHiiii",
             rec.chrom, rec.pos if rec.chrom >= 0 else -1,
@@ -322,15 +345,16 @@ class BamWriter:
         lens_a = np.asarray(seq_lens, np.int64)
         L = seq_codes.shape[1]
 
-        from soap3dp_tpu.io.ragged import flatten_bytes
+        from soap3dp_tpu.io.ragged import (flatten_bytes, offsets_of,
+                                           scatter_idx)
 
+        names = _cap_qnames(names)
         qlen, nsrc = flatten_bytes(names)
         sb = (lens_a + 1) // 2               # packed-seq bytes
         aux_n = 35 if tags is not None else 0
         # 4 block_size + 32 fixed + name+NUL + one cigar op + seq + qual
         rec_len = 4 + 32 + qlen + 1 + 4 + sb + lens_a + aux_n
-        off = np.zeros(N + 1, np.int64)
-        np.cumsum(rec_len, out=off[1:])
+        off = offsets_of(rec_len)
         buf = np.zeros(off[-1], np.uint8)
         o = off[:-1]
 
@@ -365,10 +389,7 @@ class BamWriter:
         put_u32(o + 32, np.asarray(tlens, np.int64))
 
         # ragged name copy + NUL terminator (already zero-filled)
-        dst = np.repeat(o + 36, qlen) + (np.arange(len(nsrc))
-                                         - np.repeat(np.concatenate(
-                                             ([0], np.cumsum(qlen)[:-1])), qlen))
-        buf[dst] = nsrc
+        buf[scatter_idx(o + 36, qlen)] = nsrc
         co = o + 36 + qlen + 1
         put_u32(co, (lens_a << 4))                    # one M op
 
@@ -391,10 +412,7 @@ class BamWriter:
             | nyb.reshape(N, Le // 2, 2)[:, :, 1]
         so = co + 4
         smask = np.arange(Le // 2, dtype=np.int64)[None, :] < sb[:, None]
-        buf[np.repeat(so, sb) + (np.arange(int(sb.sum()))
-                                 - np.repeat(np.concatenate(
-                                     ([0], np.cumsum(sb)[:-1])), sb))] \
-            = sbytes[smask]
+        buf[scatter_idx(so, sb)] = sbytes[smask]
 
         qo = so + sb
         if quals is None:
@@ -405,10 +423,7 @@ class BamWriter:
                   else np.take_along_axis(q, qsrc, axis=1))
             qbytes = (qm - 33).astype(np.uint8)
         qmask = np.arange(L, dtype=np.int64)[None, :] < lens_a[:, None]
-        buf[np.repeat(qo, lens_a) + (np.arange(int(lens_a.sum()))
-                                     - np.repeat(np.concatenate(
-                                         ([0], np.cumsum(lens_a)[:-1])),
-                                         lens_a))] = qbytes[qmask]
+        buf[scatter_idx(qo, lens_a)] = qbytes[qmask]
 
         if tags is not None:
             x0, x1, xm = (np.asarray(t, np.int64) for t in tags)
