@@ -4,4 +4,4 @@ The reference tracks its version in Release.h:27-35 (v2.3.178); this
 rebuild starts its own versioning.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
