@@ -36,8 +36,12 @@ def main() -> int:
     from soap3dp_tpu.io.sam import SamWriter
     from soap3dp_tpu.io.succinct import BamWriter, SuccinctWriter
     from soap3dp_tpu.pipeline.options import AlignOptions
-    from soap3dp_tpu.pipeline.pair import RescueQueue, align_pair_batch
-    from soap3dp_tpu.pipeline.single import align_single_batch
+    from soap3dp_tpu.pipeline.pair import (Phase2Queue, RescueQueue,
+                                           align_pair_batch,
+                                           dispatch_pair_search)
+    from soap3dp_tpu.pipeline.single import (SinglePhase2Queue,
+                                             align_single_batch,
+                                             dispatch_single_search)
     from soap3dp_tpu.utils.dna import pack_codes
 
     t0 = time.time()
@@ -89,9 +93,21 @@ def main() -> int:
                    BamWriter(os.path.join(d, "w.bam"), index)]
         for w in writers:
             rq = RescueQueue(index, didx, opts)
-            align_pair_batch(index, didx, b1, b2, opts, w, rescue_queue=rq)
+            p2q = Phase2Queue(index, didx, opts)
+            sp2 = SinglePhase2Queue(index, didx, opts)
+            # drive through the dispatch path so the phased shapes
+            # compile too (the gate decides per index)
+            pend = dispatch_pair_search(didx, b1, b2, opts)
+            align_pair_batch(index, didx, b1, b2, opts, w,
+                             pending_search=pend, rescue_queue=rq,
+                             phase2_queue=p2q)
+            p2q.process(w, rq)
             rq.flush(w)
-            align_single_batch(index, didx, b1, opts, w)
+            align_single_batch(index, didx, b1, opts, w,
+                               pending_search=dispatch_single_search(
+                                   didx, b1, opts),
+                               phase2_queue=sp2)
+            sp2.process(w)
             w.close()
             print(f"[warm] {type(w).__name__} +{time.time() - t0:.1f}s",
                   file=sys.stderr)
