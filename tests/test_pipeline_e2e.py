@@ -778,3 +778,64 @@ def test_mixed_length_pair_outer_span_insert(small_index,
     assert summary.paired_bwt == 1
     r1 = next(r for r in recs if r["flag"] & 0x40)
     assert abs(r1["tlen"]) == l1  # outer span, == the filter's insert
+
+
+def test_phase2_queue_survives_fetch_failure(small_index,
+                                             small_device_index,
+                                             small_genome, rng,
+                                             monkeypatch):
+    """If finishing a deferred phase-2 item raises (e.g. a device OOM
+    surfacing at the fetch), the queue must keep the item so a retry
+    emits every pair exactly once — no drops, no double emission."""
+    from soap3dp_tpu.fm.search import PendingSearch, SearchConfig
+    from soap3dp_tpu.pipeline import pair as pairmod
+
+    codes = small_genome.codes
+    L, insert, N = 60, 200, 24
+    seqs1, seqs2 = [], []
+    for i in range(N):
+        p = int(rng.integers(100, len(codes) - 400))
+        left = codes[p:p + L].copy()
+        right = codes[p + insert - L:p + insert].copy()
+        for pos in rng.choice(L, size=2, replace=False):  # all escalate
+            left[pos] = (left[pos] + 1 + rng.integers(3)) % 4
+        seqs1.append(left)
+        seqs2.append(dna.revcomp_codes(right))
+    b1 = make_batch(seqs1, max_len=L)
+    b2 = make_batch(seqs2, max_len=L)
+    opts = AlignOptions(min_insert=100, max_insert=300)
+    cfg = SearchConfig(k=opts.effective_mismatches(L))
+
+    buf = io.BytesIO()
+    w = SamWriter(buf, small_index)
+    p2q = pairmod.Phase2Queue(small_index, small_device_index, opts)
+    pend = PendingSearch(small_device_index,
+                         np.concatenate([b1.codes, b2.codes]),
+                         np.concatenate([b1.lens, b2.lens]).astype(np.int32),
+                         cfg, seed_range=(0, 2))
+    s = pairmod.align_pair_batch(small_index, small_device_index, b1, b2,
+                                 opts, w, pending_search=pend,
+                                 phase2_queue=p2q)
+    assert len(p2q._items) == 1  # the 2-mismatch pairs escalated
+
+    real = pairmod._phase2_finish
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pairmod, "_phase2_finish", flaky)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        p2q.process(w, None)
+    assert len(p2q._items) == 1  # failed item kept
+    s.add(p2q.process(w, None))  # retry succeeds
+    assert len(p2q._items) == 0
+    recs = [l for l in buf.getvalue().decode().splitlines()
+            if not l.startswith("@")]
+    assert s.num_records == 2 * N
+    assert len(recs) == 2 * N
+    assert len({r.split("\t")[0] + r.split("\t")[1] for r in recs}) == 2 * N
