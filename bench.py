@@ -1,40 +1,44 @@
-"""Benchmark: paired-end 100bp alignment throughput on one chip.
+"""Benchmark: end-to-end 100bp alignment throughput on one chip.
 
-Prints ONE JSON line:
+Prints a cumulative JSON summary line on stdout after EVERY profile
+(each line is self-contained; the LAST line is the artifact), so a
+driver timeout part-way through still leaves a parseable result.
+SIGTERM/SIGINT are caught and trigger a final flush (VERDICT r3 #1).
+
   {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": r,
-   "elapsed_reads_per_s": ..., "profiles": {...}}
+   "profiles": {...}}
 
 Baseline: the reference aligns 1M x 100bp single-end reads against the
 human genome (<=3 mismatches) in 37.04s on its GPU (BGS-Experiment.log:
-8-11), i.e. ~27,000 reads/s/device. No human genome is available in
-this environment (zero egress), so the bench uses cached synthetic
-genomes and measures the full paired-end pipeline (search both ends +
-pairing + DP rescue + output) end-to-end.
+8-11), i.e. ~27,000 reads/s/device. With zero egress (no GRCh38), the
+human-scale profile uses a 3.1 Gbp REPEAT-STRUCTURED synthetic genome
+(tools/repeat_genome.py: ~31% Alu/LINE/satellite/segdup repeats + N
+runs — the pathology the reference's occ caps and ambiguity handling
+exist for, HSP.c:849-896), not uniform-random text.
 
-Profiles per run:
+Profiles, in the order run (human_scale is second so the headline
+number survives a tight driver budget):
   main        40Mbp index, full SA + LUT-only seeding, succinct output
-              (the headline metric; comparable with earlier rounds)
-  chr1_scale  250Mbp index, sa_rate=4, lut_k=13 — the configuration
-              class that transfers to a 3.1Gbp human index: real FM
-              extension steps past the LUT and sampled-SA LF walks on
-              the hot path (VERDICT r1 item 3)
+  human_scale 3.1Gbp repeat-structured genome, sa_rate=2, lut_k=13 —
+              THE HEADLINE when its cached index exists (build with
+              tools/build_bench_indexes.py; hour-class host job)
+  chr1_scale  250Mbp index, sa_rate=2, lut_k=13 — real FM extension
+              steps past the LUT + sampled-SA LF walks on the hot path
+  se_scale    the reference's own headline shape: 1M x 100bp SE
   sam_out     40Mbp index with SAM text output (the default -b 2 path)
-  human_scale 3.1Gbp synthetic genome (human-size, README.md section
-              2.1), sa_rate=4, lut_k=13 — runs when the cached index
-              exists (build once with tools/build_human_scale.py; the
-              build is an hour-class host job) or BENCH_HUMAN=1
-              forces the build
 
-`value` is the steady-state median per-batch rate (the remote-TPU link
-adds sporadic multi-hundred-ms stalls); `elapsed_reads_per_s` is the
-total-elapsed rate including those stalls and the double-buffer warm
-start. Both are reported per ADVICE r1.
+`value` (headline) = median of the warm-pass elapsed rates of the best
+available profile (human_scale > main), pass 0 dropped (residual
+compiles). BENCH_PASSES (default 2) counts total passes per profile.
+BENCH_BUDGET seconds (default 2400) skips remaining profiles when the
+clock runs low — each already-finished profile was already emitted.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -48,6 +52,22 @@ BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", 400_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
 SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 200_000))
+# total passes per profile; pass 0 absorbs residual compiles and is
+# dropped from the stats, so 2 = one clean timed pass (VERDICT r3 #1)
+PASSES = max(2, int(os.environ.get("BENCH_PASSES", 2)))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET", 2400))
+
+START = time.time()
+
+HUMAN_BP = 3_100_000_000
+
+_DESC = {
+    "main": "40Mbp synthetic index",
+    "chr1_scale": "250Mbp synthetic index",
+    "sam_out": "40Mbp synthetic index, SAM text output",
+    "se_scale": "250Mbp synthetic index, single-end",
+    "human_scale": "3.1Gbp repeat-structured genome (~31% repeats + N runs)",
+}
 
 
 def get_index(genome_bp: int, sa_rate: int, lut_k: int):
@@ -81,14 +101,62 @@ def get_index(genome_bp: int, sa_rate: int, lut_k: int):
     return index, np.load(codes_path, mmap_mode="r")
 
 
-def make_pairs(codes, n_pairs, rng):
+def get_hg_index(sa_rate: int = 2, lut_k: int = 13):
+    """The repeat-structured human-scale index; None if not cached.
+
+    Returns (index, codes mmap, excluded (starts, ends)) — excluded
+    regions are the N runs; read simulation must avoid them just as
+    real reads never come from gaps."""
+    from soap3dp_tpu.index.builder import load_index
+    from tools import repeat_genome
+
+    tag = repeat_genome.tag_for(HUMAN_BP)
+    path = os.path.join(CACHE, f"{tag}.sa{sa_rate}k{lut_k}.t3i")
+    codes_path = os.path.join(CACHE, tag + ".codes.npy")
+    meta_path = os.path.join(CACHE, tag + ".genome.json")
+    if not (os.path.exists(os.path.join(path, "meta.json"))
+            and os.path.exists(codes_path)):
+        return None
+    with open(meta_path) as fh:
+        gmeta = json.load(fh)
+    starts = np.asarray(gmeta["amb_starts"], np.int64)
+    lengths = np.asarray(gmeta["amb_lengths"], np.int64)
+    keep = lengths > 10
+    excluded = (starts[keep], starts[keep] + lengths[keep])
+    return load_index(path), np.load(codes_path, mmap_mode="r"), excluded
+
+
+def _sample_positions(rng, n_pos: int, hi: int, excluded) -> np.ndarray:
+    """Sample insert start positions avoiding excluded (N-run) spans.
+
+    Real reads never originate from assembly gaps; rejection-resample
+    any insert overlapping an excluded run (and chromosome boundaries
+    are handled downstream by the pairing filter)."""
+    pos = rng.integers(0, hi, n_pos)
+    if excluded is None or not len(excluded[0]):
+        return pos
+    starts, ends = excluded
+    for _ in range(64):
+        # insert [pos, pos+INSERT) overlaps run i iff
+        # starts[i] < pos+INSERT and ends[i] > pos
+        i = np.searchsorted(ends, pos, side="right")
+        bad = (i < len(starts)) & (starts[np.minimum(i, len(starts) - 1)]
+                                   < pos + INSERT)
+        nbad = int(bad.sum())
+        if not nbad:
+            break
+        pos[bad] = rng.integers(0, hi, nbad)
+    return pos
+
+
+def make_pairs(codes, n_pairs, rng, excluded=None):
     from soap3dp_tpu.io.fastq import ReadBatch
 
     n = len(codes)
-    pos = rng.integers(0, n - INSERT - 1, n_pairs)
-    idx = pos[:, None] + np.arange(READ_LEN)[None, :]
+    pos = _sample_positions(rng, n_pairs, n - INSERT - 1, excluded)
+    idx = pos[:, None] + np.arange(READ_LEN)
     left = np.asarray(codes)[idx]
-    ridx = (pos + INSERT - READ_LEN)[:, None] + np.arange(READ_LEN)[None, :]
+    ridx = (pos + INSERT - READ_LEN)[:, None] + np.arange(READ_LEN)
     right = (3 - np.asarray(codes)[ridx])[:, ::-1]
     # ~0.5% per-base mismatches
     for mat in (left, right):
@@ -103,7 +171,25 @@ def make_pairs(codes, n_pairs, rng):
     return b1, b2
 
 
-def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
+def _pass_stats(pass_times: list[tuple[float, list[float]]], reads: int,
+                batch_reads: int) -> dict:
+    """Headline = MEDIAN warm-pass elapsed rate (VERDICT r3 weak #4:
+    best-of-N flatters on a ~30%-variance relay; all passes recorded)."""
+    elapsed_sorted = sorted(e for e, _ in pass_times)
+    med_elapsed = elapsed_sorted[(len(elapsed_sorted) - 1) // 2]
+    _, batch_times = min(pass_times, key=lambda x: x[0])
+    med_batch = sorted(batch_times)[len(batch_times) // 2]
+    return {
+        "reads_per_s": round(reads / med_elapsed, 1),
+        "best_pass_reads_per_s": round(reads / elapsed_sorted[0], 1),
+        "median_batch_reads_per_s": round(batch_reads / med_batch, 1),
+        "batches": [round(b, 2) for b in batch_times],
+        "warm_pass_seconds": [round(e, 2) for e, _ in pass_times],
+    }
+
+
+def run_profile(name, index, codes, writer_factory, n_pairs, batch,
+                excluded=None) -> dict:
     import jax
 
     from soap3dp_tpu.fm.fmindex import device_index
@@ -136,7 +222,7 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
     # warmup (jit compile) mirroring the timed loop EXACTLY — same batch
     # shape, same number of RescueQueue adds and the same flush points —
     # so the timed region never sees a fresh XLA compile
-    wb1, wb2 = make_pairs(codes, batch, rng)
+    wb1, wb2 = make_pairs(codes, batch, rng, excluded)
     n_batches = -(-n_pairs // batch)
     t0 = time.time()
     wq = RescueQueue(index, didx, opts)
@@ -155,20 +241,14 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
           file=sys.stderr)
     timers.report(f"[bench:{name} warmup]")
 
-    b1, b2 = make_pairs(codes, n_pairs, rng)
+    b1, b2 = make_pairs(codes, n_pairs, rng, excluded)
     batches = []
     for s in range(0, n_pairs, batch):
         sl = slice(s, s + batch)
         batches.append((ReadBatch(b1.names[sl], b1.codes[sl], b1.lens[sl], None),
                         ReadBatch(b2.names[sl], b2.codes[sl], b2.lens[sl], None)))
-    # three timed passes: residual cold compiles (a RescueQueue flush
-    # whose subset sizes cross a shape-bucket boundary) pollute pass 0;
-    # the BEST warm TOTAL-ELAPSED rate — flushes and all — is reported,
-    # because the remote-relay link adds transient multi-hundred-ms
-    # stalls unrelated to the aligner (standard best-of-N practice;
-    # every pass's time is recorded in the JSON for scrutiny).
     pass_times = []
-    for p in range(3):
+    for p in range(PASSES):
         total = PairSummary()
         t0 = time.time()
         # double-buffered: dispatch batch i+1's device search before
@@ -200,24 +280,16 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch) -> dict:
             pass_times.append((elapsed, batch_times))
     out.close()
 
-    elapsed, batch_times = min(pass_times, key=lambda x: x[0])
-    med = sorted(batch_times)[len(batch_times) // 2]
-    res = {
-        "reads_per_s": round(2 * n_pairs / elapsed, 1),
-        "median_batch_reads_per_s": round(2 * batch / med, 1),
-        "batches": [round(b, 2) for b in batch_times],
-        "warm_pass_seconds": [round(e, 2) for e, _ in pass_times],
-    }
+    res = _pass_stats(pass_times, 2 * n_pairs, 2 * batch)
     print(f"[bench:{name}] {total}", file=sys.stderr)
-    print(f"[bench:{name}] best warm pass: {2 * n_pairs} reads in "
-          f"{elapsed:.2f}s -> {res['reads_per_s']:.0f} reads/s elapsed "
-          f"(median batch {med:.2f}s -> "
+    print(f"[bench:{name}] median warm pass -> {res['reads_per_s']:.0f} "
+          f"reads/s elapsed (median batch "
           f"{res['median_batch_reads_per_s']:.0f})", file=sys.stderr)
     return res
 
 
 def run_profile_single(name, index, codes, writer_factory, n_reads,
-                       batch) -> dict:
+                       batch, excluded=None) -> dict:
     """Single-end profile: the reference's own headline workload is
     1M x 100bp SE <= 3 mismatches in 37.04s (BGS-Experiment.log:8-11)."""
     import jax
@@ -242,7 +314,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
         soap3_mismatch_allow=int(os.environ.get("BENCH_K", 3)))
     out = writer_factory(index)
 
-    reads, _ = make_pairs(codes, batch, rng)
+    reads, _ = make_pairs(codes, batch, rng, excluded)
     n_batches = -(-n_reads // batch)
     t0 = time.time()
     wq = SalvageQueue(index, didx, opts)
@@ -261,14 +333,14 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
           file=sys.stderr)
     timers.report(f"[bench:{name} warmup]")
 
-    big, _ = make_pairs(codes, n_reads, rng)
+    big, _ = make_pairs(codes, n_reads, rng, excluded)
     batches = []
     for st in range(0, n_reads, batch):
         sl = slice(st, st + batch)
         batches.append(ReadBatch(big.names[sl], big.codes[sl],
                                  big.lens[sl], None))
     pass_times = []
-    for p in range(3):
+    for p in range(PASSES):
         total = BatchSummary()
         t0 = time.time()
         batch_times = []
@@ -297,20 +369,36 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
             pass_times.append((elapsed, batch_times))
     out.close()
 
-    elapsed, batch_times = min(pass_times, key=lambda x: x[0])
-    med = sorted(batch_times)[len(batch_times) // 2]
-    res = {
-        "reads_per_s": round(n_reads / elapsed, 1),
-        "median_batch_reads_per_s": round(batch / med, 1),
-        "batches": [round(b, 2) for b in batch_times],
-        "warm_pass_seconds": [round(e, 2) for e, _ in pass_times],
-    }
+    res = _pass_stats(pass_times, n_reads, batch)
     print(f"[bench:{name}] {total}", file=sys.stderr)
-    print(f"[bench:{name}] best warm pass: {n_reads} reads in "
-          f"{elapsed:.2f}s -> {res['reads_per_s']:.0f} reads/s elapsed "
-          f"(median batch {med:.2f}s -> "
+    print(f"[bench:{name}] median warm pass -> {res['reads_per_s']:.0f} "
+          f"reads/s elapsed (median batch "
           f"{res['median_batch_reads_per_s']:.0f})", file=sys.stderr)
     return res
+
+
+def emit(profiles: dict) -> None:
+    """Print the cumulative self-contained summary JSON line.
+
+    Called after every finished profile AND from the final flush, so
+    the last stdout JSON line always reflects everything measured so
+    far — a driver timeout can no longer erase the run (VERDICT r3 #1).
+    Headline: human_scale (the reference's own regime) > main."""
+    if not profiles:
+        return
+    head = "human_scale" if "human_scale" in profiles \
+        else ("main" if "main" in profiles else next(iter(profiles)))
+    rate = profiles[head]["reads_per_s"]
+    kind = "SE" if head == "se_scale" else "PE"
+    print(json.dumps({
+        "metric": f"{kind} 100bp end-to-end reads/s/chip "
+                  f"({_DESC.get(head, head)}, k=3 + DP rescue; median "
+                  "warm-pass total-elapsed rate incl. rescue flushes)",
+        "value": rate,
+        "unit": "reads/s",
+        "vs_baseline": round(rate / BASELINE_READS_PER_S, 3),
+        "profiles": profiles,
+    }), flush=True)
 
 
 def main() -> int:
@@ -333,80 +421,80 @@ def main() -> int:
         return AsyncWriter(SamWriter(os.path.join(CACHE, "bench.sam"), index))
 
     # BENCH_ONLY=chr1_scale (or main/sam_out/human_scale, comma-separated)
-    # runs a subset — for profiling iteration; the driver runs all four
+    # runs a subset — for profiling iteration; the driver runs all five
     only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
 
     def want(name):
-        return not only or name in only
+        if only:
+            return name in only
+        return time.time() - START < BUDGET_S
 
-    profiles = {}
-    index40 = codes40 = None
-    if want("main") or want("sam_out"):
-        index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
-    if want("main"):
-        profiles["main"] = run_profile("main", index40, codes40, succ,
-                                       N_PAIRS, BATCH)
-    if not os.environ.get("BENCH_MAIN_ONLY"):
+    profiles: dict = {}
+
+    def terminate(signum, frame):
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, terminate)
+    signal.signal(signal.SIGINT, terminate)
+
+    try:
+        index40 = codes40 = None
+        if want("main") or want("sam_out"):
+            index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
+        if want("main"):
+            profiles["main"] = run_profile("main", index40, codes40, succ,
+                                           N_PAIRS, BATCH)
+            emit(profiles)
+        # human_scale runs SECOND (VERDICT r3 #1): it is the headline
+        # and must land inside the driver's budget
+        if want("human_scale"):
+            hg = get_hg_index()
+            if hg is not None:
+                indexh, codesh, excl = hg
+                profiles["human_scale"] = run_profile(
+                    "human_scale", indexh, codesh, succ, SCALE_PAIRS,
+                    BATCH, excluded=excl)
+                del indexh, codesh
+                emit(profiles)
+            else:
+                print("[bench] human_scale skipped: no cached 3.1Gbp "
+                      "repeat-genome index (tools/build_bench_indexes.py)",
+                      file=sys.stderr)
         if want("chr1_scale") or want("se_scale"):
             # sa_rate=2 measured +10% over rate 4 at this scale (the
-            # decode walk halves); at 3.1 Gbp the rate-2 index is
-            # ~12 GB of 16 GB HBM (docs/SCALING.md)
+            # decode walk halves; docs/SCALING.md)
             index250, codes250 = get_index(250_000_000, sa_rate=2, lut_k=13)
             if want("chr1_scale"):
                 profiles["chr1_scale"] = run_profile(
                     "chr1_scale", index250, codes250, succ, SCALE_PAIRS,
                     BATCH)
+                emit(profiles)
             if want("se_scale"):
                 # the reference's own headline shape: 1M x 100bp SE
                 profiles["se_scale"] = run_profile_single(
                     "se_scale", index250, codes250, succ, 1_000_000,
                     2 * BATCH)
+                emit(profiles)
             del index250, codes250
         if want("sam_out"):
+            if index40 is None:
+                index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
             profiles["sam_out"] = run_profile("sam_out", index40, codes40,
                                               samw, SCALE_PAIRS, BATCH)
-        # human-scale: 3.1 Gbp synthetic; prefer the sa_rate=2 index,
-        # fall back to a cached rate-4 one
-        index40 = codes40 = None
-        import gc
-        gc.collect()
-        if want("human_scale"):
-            for rate in (2, 4):
-                human_tag = f"synth{3_100_000_000}.sa{rate}k13.t3i"
-                if (os.path.exists(os.path.join(CACHE, human_tag, "meta.json"))
-                        or (rate == 2 and os.environ.get("BENCH_HUMAN"))):
-                    indexh, codesh = get_index(3_100_000_000, sa_rate=rate,
-                                               lut_k=13)
-                    profiles["human_scale"] = run_profile(
-                        "human_scale", indexh, codesh, succ, SCALE_PAIRS,
-                        BATCH)
-                    break
+            emit(profiles)
+    finally:
+        # final flush: identical to the last incremental emit, but it
+        # also covers a SIGTERM mid-profile (timeout(1) sends TERM)
+        emit(profiles)
 
     if not profiles:
         print("[bench] no profiles ran (check BENCH_ONLY / cached "
-              "indexes, e.g. human_scale needs a built 3.1Gbp index)",
-              file=sys.stderr)
+              "indexes)", file=sys.stderr)
         return 1
-    if "main" in profiles:
-        head, main_rate = "main", profiles["main"]["reads_per_s"]
-    else:
-        head = next(iter(profiles))
-        main_rate = profiles[head]["reads_per_s"]
-    desc = {"main": "40Mbp synthetic index",
-            "chr1_scale": "250Mbp synthetic index",
-            "sam_out": "40Mbp synthetic index, SAM text output",
-            "se_scale": "250Mbp synthetic index, single-end",
-            "human_scale": "3.1Gbp synthetic index"}.get(head, head)
-    kind = "SE" if head == "se_scale" else "PE"
-    print(json.dumps({
-        "metric": f"{kind} 100bp end-to-end reads/s/chip ({desc}, "
-                  "k=3 + DP rescue; warm-pass total-elapsed "
-                  "rate incl. rescue flushes)",
-        "value": main_rate,
-        "unit": "reads/s",
-        "vs_baseline": round(main_rate / BASELINE_READS_PER_S, 3),
-        "profiles": profiles,
-    }))
+    skipped = [n for n in _DESC if n not in profiles]
+    if skipped:
+        print(f"[bench] skipped (budget {BUDGET_S:.0f}s / missing index): "
+              f"{skipped}", file=sys.stderr)
     return 0
 
 
