@@ -615,6 +615,15 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
     sweep emits CIGAR runs directly: per step a one-hot flush into a
     (PT, MR) runs register, so the host receives finished
     (ops, cnts, nrun) arrays instead of a per-diagonal op stream.
+
+    ``dirs_s`` packs the 6-bit direction bytes of 4 consecutive
+    anti-diagonals into one int32 word, (ND4, PT, Lr1): an int32
+    scratch tiles at 8 sublanes (vs 32 for uint8), so small problem
+    tiles (PT=8) stop paying 4x sublane padding — that is what lets
+    512bp+ reads (Lr1 up to 1024 lanes) fit the VMEM budget
+    (VERDICT r3 item 7; reference MAX_READ_LENGTH=1024,
+    definitions.h:38). The forward loop is unrolled 4x so each word is
+    assembled in registers and written once — no read-modify-write.
     """
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -698,7 +707,6 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
 
         byte = (dH | (dD << 2) | (dI << 3)
                 | ((chars == reads_pad).astype(jnp.int32) << 5))
-        dirs_s[dm1, :, :] = byte.astype(jnp.uint8)
 
         elig = ((i_vec >= 1) & (i_vec <= rlens) & (j_vec >= 1)
                 & (j_vec <= wlens) & (i_vec >= rlens - clip_r)
@@ -715,10 +723,24 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
         bS = jnp.where(better, s_star, bS)
         bJ = jnp.where(better, j_star, bJ)
         bI = jnp.where(better, i_star, bI)
-        return H_new, H1, D_new, I_new, chars, (bS, bJ, bI, bC)
+        return (H_new, H1, D_new, I_new, chars, (bS, bJ, bI, bC)), byte
+
+    ND4 = -(-ND // 4)
+
+    def fwd_quad(q, carry):
+        # 4 diagonals per iteration; the padded tail steps (d > ND when
+        # ND % 4 != 0) are harmless: no cell with i <= rlen, j <= wlen
+        # lies on them, so `elig` is all-False and their bytes land in
+        # word lanes the traceback never extracts
+        word = jnp.zeros((PT, Lr1), jnp.int32)
+        for u in range(4):
+            carry, byte = fwd_step(4 * q + u, carry)
+            word = word | (byte << (8 * u))
+        dirs_s[q, :, :] = word
+        return carry
 
     _, _, _, _, _, (bS, bJ, bI, bC) = jax.lax.fori_loop(
-        0, ND, fwd_step, (h0, hm1, d0, i0, chars0, best0))
+        0, ND4, fwd_quad, (h0, hm1, d0, i0, chars0, best0))
 
     # ---- traceback: reverse diagonal sweep over the VMEM dirs ----
     # loop-carried flags are int32 masks, not bools: Mosaic cannot
@@ -756,7 +778,8 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
         (i, j, state, done, startj, clipv, cur_op, cur_cnt,
          ridx, of, runs_ops, runs_cnts) = carry
         d = ND - t
-        dirs_d = dirs_s[d - 1, :, :].astype(jnp.int32)          # (PT, Lr1)
+        w = dirs_s[(d - 1) // 4, :, :]                          # (PT, Lr1)
+        dirs_d = (w >> (8 * ((d - 1) % 4))) & 0xFF
         act = (done == 0) & (i > 0) & (j > 0) & (i + j == d)
         oh = lane == i
         byte = jnp.where(oh, dirs_d, 0).sum(axis=1, keepdims=True)
@@ -854,8 +877,8 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
     P, Lr = reads.shape
     Lw = wins.shape[1]
     # state lanes: one per read position + boundary, padded to the lane
-    # quantum; long reads (<=255bp) get 256-lane state vectors
-    Lr1 = 128 if Lr + 1 <= 128 else 256
+    # quantum (128); 512bp reads get 640-lane state vectors
+    Lr1 = -(-(Lr + 1) // 128) * 128
     ND = Lr + Lw
     reads_pad = jnp.concatenate(
         [jnp.zeros((P, 1), jnp.int32), reads.astype(jnp.int32),
@@ -881,7 +904,7 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
             jax.ShapeDtypeStruct((P, 8), jnp.int32),
             jax.ShapeDtypeStruct((P, mr), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((ND, pt, Lr1), jnp.uint8)],
+        scratch_shapes=[pltpu.VMEM((-(-ND // 4), pt, Lr1), jnp.int32)],
         interpret=interpret,
     )(params, reads_pad, wins.astype(jnp.int32))
     return stats, runs
@@ -893,9 +916,14 @@ def _gather_runs_u16(runs: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def _fused_tile(ND: int, lr1: int = 128) -> int | None:
-    """Problem-tile size whose dirs scratch fits the VMEM budget."""
-    for pt in (PALLAS_P_TILE, 32):
-        if ND * pt * lr1 <= _VMEM_BUDGET:
+    """Problem-tile size whose dirs scratch fits the VMEM budget.
+
+    The packed-int32 dirs scratch is (ceil(ND/4), pt, lr1) int32 — an
+    int32 tile needs only 8 sublanes, so pt goes down to 8 for long
+    reads (a uint8 scratch would pad every tile to 32 sublanes)."""
+    nd4 = -(-ND // 4)
+    for pt in (PALLAS_P_TILE, 32, 16, 8):
+        if nd4 * max(pt, 8) * lr1 * 4 <= _VMEM_BUDGET:
             return pt
     return None
 
@@ -921,10 +949,10 @@ def dp_align(
     P, Lr = reads.shape
     Lw = wins.shape[1]
     ND = Lr + Lw
-    pt = _fused_tile(ND, 128 if Lr + 1 <= 128 else 256)
+    pt = _fused_tile(ND, -(-(Lr + 1) // 128) * 128)
     mr = max(MAX_RUNS, _max_runs_bound(Lr))
     n_sh = mesh.devices.size if mesh is not None else 1
-    if (Lr + 1 <= 256 and pt is not None and P % (pt * n_sh) == 0
+    if (pt is not None and P % (pt * n_sh) == 0
             and Lw < 4096   # run counts must fit the 12-bit packing
             and jax.default_backend() == "tpu"
             and not os.environ.get("SOAP3DP_NO_PALLAS")):
@@ -995,14 +1023,15 @@ def dp_align(
     # the scan is used directly — XLA partitions it over the sharded
     # problem axis; the unwrapped Pallas forward kernel cannot shard)
     global _warned_long_read_fallback
-    if (Lr + 1 > 256 and jax.default_backend() == "tpu"
+    if (pt is None and jax.default_backend() == "tpu"
             and not _warned_long_read_fallback):
         _warned_long_read_fallback = True
         import sys
-        print("[soap3dp] notice: reads longer than 255 bp exceed the fused "
-              "DP kernel's lane budget; DP rescue uses the slower scan path "
-              "(the reference seeds long reads then DPs them, "
-              "alignment.cu:2475-2491)", file=sys.stderr)
+        print(f"[soap3dp] notice: read+window diagonals ({ND}) exceed the "
+              "fused DP kernel's VMEM budget even at an 8-problem tile; "
+              "DP rescue uses the slower scan path (fused path covers "
+              "reads to ~768 bp; the reference seeds long reads then DPs "
+              "them, alignment.cu:2475-2491)", file=sys.stderr)
     fwd = _dp_forward_scan if mesh is not None else dp_forward
     bS, bI, bJ, bC, dirs = fwd(
         reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r, sc=sc)

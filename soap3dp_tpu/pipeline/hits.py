@@ -20,6 +20,7 @@ from soap3dp_tpu.fm.search import HitArrays
 from soap3dp_tpu.index.builder import Index
 from soap3dp_tpu.io.sam import crosses_boundary
 from soap3dp_tpu.pipeline import options as opt
+from soap3dp_tpu.utils import rhash
 
 
 @dataclasses.dataclass
@@ -194,7 +195,9 @@ def read_stats(table: HitTable, num_reads: int) -> ReadStats:
 
 
 def select_output(table: HitTable, stats: ReadStats, num_reads: int,
-                  mode: int, cap: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+                  mode: int, cap: int,
+                  pick_hash: np.ndarray | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
     """Apply the -h output mode.
 
     Returns (selected, primary): `selected` is a bool mask over table
@@ -202,6 +205,10 @@ def select_output(table: HitTable, stats: ReadStats, num_reads: int,
     the table row index of the primary record per read (-1 = none).
     Groups are sorted by (nmis, pos, strand), so the first selected row
     of a group is the deterministic primary.
+
+    `pick_hash` (required for OUTPUT_RANDOM_BEST): per-read uint64
+    hashes of (seed, read name) — the pick is a pure function of the
+    read identity, invariant under batch splitting (utils/rhash.py).
     """
     B = num_reads
     selected = np.zeros(table.pos.shape[0], bool)
@@ -218,8 +225,10 @@ def select_output(table: HitTable, stats: ReadStats, num_reads: int,
     elif mode == opt.OUTPUT_UNIQUE_BEST:
         selected = is_best & (stats.x0[rid] == 1)
     elif mode == opt.OUTPUT_RANDOM_BEST:
-        rng = np.random.default_rng(seed)
-        pick = (rng.integers(0, 1 << 30, size=B) % np.maximum(stats.x0, 1))
+        if pick_hash is None:
+            raise ValueError("OUTPUT_RANDOM_BEST needs per-read pick_hash "
+                             "(utils/rhash.name_hashes)")
+        pick = rhash.unbiased_pick(pick_hash, stats.x0)
         selected = is_best & (rank == pick[rid])
     else:
         raise ValueError(f"unknown output mode {mode}")

@@ -34,7 +34,7 @@ from soap3dp_tpu.pipeline import cigar as cig
 from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
 from soap3dp_tpu.pipeline import options as opt
 from soap3dp_tpu.pipeline.options import AlignOptions
-from soap3dp_tpu.utils import shapes
+from soap3dp_tpu.utils import rhash, shapes
 from soap3dp_tpu.utils import timers
 from soap3dp_tpu.pipeline.single import _genome_codes, _qual_bytes, _seq_bytes
 
@@ -679,8 +679,11 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
     n_total = (s[1:] - s[:-1])[paired]
 
     if mode == opt.OUTPUT_RANDOM_BEST:
-        rng = np.random.default_rng(opts.random_seed)
-        pick = rng.integers(0, 1 << 30, size=B)[paired] % n_best
+        # pick = f(seed, pair name): batch-layout invariant and exactly
+        # uniform over the n_best equal-best combos (utils/rhash.py)
+        ph = rhash.name_hashes(np.asarray(b1.names)[paired],
+                               opts.random_seed)
+        pick = rhash.unbiased_pick(ph, n_best)
         prim = first + pick
     else:
         prim = first

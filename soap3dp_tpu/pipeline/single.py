@@ -23,7 +23,7 @@ from soap3dp_tpu.pipeline import cigar as cig
 from soap3dp_tpu.pipeline import dp_rescue, hits, mapq
 from soap3dp_tpu.pipeline import options as opt
 from soap3dp_tpu.pipeline.options import AlignOptions
-from soap3dp_tpu.utils import dna, timers
+from soap3dp_tpu.utils import dna, rhash, timers
 
 
 @dataclasses.dataclass
@@ -240,9 +240,11 @@ def _finish_single(index, didx, batch, table, opts, writer, salvage_queue,
     B = len(batch)
     lens = batch.lens.astype(np.int32)
     stats = hits.read_stats(table, B)
+    ph = (rhash.name_hashes(batch.names, opts.random_seed)
+          if opts.output_mode == opt.OUTPUT_RANDOM_BEST else None)
     selected, primary = hits.select_output(
         table, stats, B, opts.output_mode, opts.max_output_per_read,
-        opts.random_seed)
+        pick_hash=ph)
 
     if opts.bwa_like_score:
         mq = mapq.bwa_like_single(stats.x0, stats.x1)

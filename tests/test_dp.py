@@ -264,3 +264,55 @@ def test_fused_align_long_reads_matches_scan():
         assert stats[p, 4] == r_startj[p], p
         checked += 1
     assert checked > P // 2
+
+
+def test_fused_align_512bp_matches_scan():
+    """512bp reads on the FAST path: the packed-int32 dirs scratch fits
+    the VMEM budget at a small problem tile (VERDICT r3 item 7; the
+    reference's MAX_READ_LENGTH is 1024, definitions.h:38)."""
+    from soap3dp_tpu.kernels import banded_dp as bd
+
+    rng = np.random.default_rng(23)
+    P, Lr, Lw = 16, 512, 576
+    wins = rng.integers(0, 4, (P, Lw)).astype(np.uint8)
+    reads = np.zeros((P, Lr), np.uint8)
+    rlens = rng.integers(480, Lr + 1, P).astype(np.int32)
+    for p in range(P):
+        reads[p, :rlens[p]] = wins[p, 20:20 + rlens[p]]
+    reads[0, 100] = (reads[0, 100] + 1) % 4
+    reads[1, 50:400] = np.roll(reads[1, 50:400], 3)  # indel-ish
+    reads[2] = rng.integers(0, 4, Lr)                # garbage, below cutoff
+    args = [jnp.asarray(x) for x in (
+        reads, rlens, wins, np.full(P, Lw, np.int32),
+        rng.integers(0, 30, P).astype(np.int32),
+        rng.integers(0, 30, P).astype(np.int32),
+        np.full(P, Lw + 1, np.int32), np.zeros(P, np.int32))]
+    cutoff = np.full(P, 144, np.int32)  # 0.3 * min read length
+
+    bS, bI, bJ, bC, dirs = bd._dp_forward_scan(*args, sc=SC)
+    sS = np.asarray(bS)
+    active = sS >= cutoff
+    r_ops, r_cnts, r_nrun, r_startj = bd.dp_traceback(
+        dirs, args[0], args[1], args[2], bI, bJ, args[4],
+        jnp.asarray(active))
+
+    mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
+    pt = bd._fused_tile(Lr + Lw, 640)
+    assert pt is not None and P % pt == 0, pt  # 512bp fits the fast path
+    stats, runs = bd._dp_align_pallas_call(
+        *args, jnp.asarray(cutoff), SC, pt=pt, mr=mr, interpret=True)
+    stats, runs = np.asarray(stats), np.asarray(runs)
+    assert np.array_equal(stats[:, 0], sS)
+    assert not stats[:, 6].any()
+    checked = 0
+    for p in range(P):
+        if not active[p]:
+            continue
+        want = [(int(r_ops[p, r]), int(r_cnts[p, r]))
+                for r in range(int(r_nrun[p])) if r_cnts[p, r] > 0]
+        got = [(int(runs[p, r]) >> 12, int(runs[p, r]) & 0xFFF)
+               for r in range(int(stats[p, 5])) if runs[p, r] & 0xFFF]
+        assert got == want, p
+        assert stats[p, 4] == r_startj[p], p
+        checked += 1
+    assert checked >= P - 2

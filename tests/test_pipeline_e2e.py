@@ -839,3 +839,58 @@ def test_phase2_queue_survives_fetch_failure(small_index,
     assert s.num_records == 2 * N
     assert len(recs) == 2 * N
     assert len({r.split("\t")[0] + r.split("\t")[1] for r in recs}) == 2 * N
+
+
+def test_long_reads_500bp(small_index, small_device_index, small_genome):
+    """500bp reads end-to-end: on TPU these take the fused DP kernel's
+    640-lane path (VERDICT r3 item 7; packed-int32 dirs scratch); on
+    the CPU test backend the same shapes drive the scan path. SE + PE,
+    with indels so DP rescue actually fires."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(45)
+    L, insert = 500, 1400
+    pos = rng2.integers(100, len(codes) - insert - 100, 3)
+    seqs = []
+    for i, p in enumerate(pos):
+        s = codes[p:p + L].copy()
+        s[222] = (s[222] + 1) % 4
+        if i == 1:  # 7bp deletion: DP rescue
+            s = np.concatenate([s[:250], codes[p + 257:p + 257 + L - 250]])
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=L)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               max_read_len=L)
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos):
+        r = byname[f"r{i}"]
+        assert not r["flag"] & 0x4, i
+        assert r["pos"] == p + 1, i
+        assert cigar_read_span(r["cigar"]) == L, i
+        if i == 1:
+            assert "D" in r["cigar"]
+
+    # paired: one mate needs half-aligned DP rescue (3bp insertion)
+    s1, s2 = [], []
+    for i, p in enumerate(pos):
+        left = codes[p:p + L].copy()
+        right = dna.revcomp_codes(codes[p + insert - L:p + insert])
+        if i == 0:
+            right = np.concatenate(
+                [right[:200], rng2.integers(0, 4, 3).astype(np.uint8),
+                 right[200:]])[:L]
+        s1.append(left)
+        s2.append(right)
+    b1 = make_batch(s1, max_len=L)
+    b2 = make_batch(s2, max_len=L)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             max_read_len=L, min_insert=800,
+                             max_insert=2000)
+    assert summary.paired_bwt + summary.paired_dp == 3
+    byname = {}
+    for r in recs:
+        byname.setdefault(r["qname"], []).append(r)
+    for i, p in enumerate(pos):
+        rr = sorted(byname[f"r{i}"], key=lambda r: r["pos"])
+        assert len(rr) == 2
+        assert rr[0]["pos"] == p + 1, i
+        assert not (rr[0]["flag"] & 0x4) and not (rr[1]["flag"] & 0x4)
