@@ -35,6 +35,7 @@ alignment.cu:118-221; sentinels DV-Kernel.cu:4464-4486).
 
 from __future__ import annotations
 
+import os
 import dataclasses
 from functools import partial
 
@@ -44,7 +45,7 @@ import numpy as np
 
 from soap3dp_tpu.fm import fmindex
 from soap3dp_tpu.fm.fmindex import DeviceIndex, U32
-from soap3dp_tpu.utils import shapes, timers
+from soap3dp_tpu.utils import scans, shapes, timers
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 ROW_SENTINEL = jnp.int32(0x7FFFFFFF)
@@ -238,7 +239,7 @@ def _search_batch(
     RS = l.shape[0]
     cnt = jnp.where(overflow, U32(0), jnp.minimum(width, U32(cap))
                     ).astype(jnp.int32)                      # (R*S,)
-    incl = jnp.cumsum(cnt)
+    incl = scans.cumsum_1d(cnt)
     off = incl - cnt                                         # exclusive
     total = incl[-1]
 
@@ -246,7 +247,7 @@ def _search_batch(
     scat = jnp.where(cnt > 0, off, K).astype(jnp.int32)
     tbl = jnp.zeros(K + 1, jnp.int32).at[scat].max(
         jnp.arange(RS, dtype=jnp.int32) + 1, mode="drop")
-    lane_p1 = jax.lax.cummax(tbl[:K])
+    lane_p1 = scans.cummax_1d(tbl[:K])
     idxK = jnp.arange(K, dtype=jnp.int32)
     cvalid = (idxK < total) & (lane_p1 > 0)
     lane = jnp.maximum(lane_p1 - 1, 0)                       # (K,)
@@ -285,7 +286,7 @@ def _search_batch(
     dup = pos_ok & (widx != idxs) & (krow[widx] == krow) & (ktp[widx] == ktp)
     first = pos_ok & ~dup
     uniq = first.sum(dtype=jnp.int32)
-    idx2 = jnp.nonzero(first, size=K2, fill_value=-1)[0]
+    idx2 = scans.nonzero_prefix(first, K2)
     uvalid = idx2 >= 0
     idx2s = jnp.where(uvalid, idx2, 0)
     urow = jnp.where(uvalid, orow[idx2s], ROW_SENTINEL)
@@ -374,6 +375,18 @@ def _steps_for(idx: DeviceIndex, seed_q: int, min_seg: int) -> int:
     return max(seed_q - idx.lut_k, min(idx.lut_k - 1, seed_q))
 
 
+# Global candidate-work ceiling: no single search dispatch may budget
+# more than this many compaction slots. When a round's lossless budget
+# (2*B*S*cap) exceeds it, the per-seed cap is pre-scaled down — lanes
+# wider than the reduced cap are flagged exactly as always and escalate
+# to the next round / host re-alignment, so hit sets stay
+# complete-or-flagged. Without this, thousands of satellite-repeat
+# reads flagging at once (repeat-structured genomes) drive round 3 to
+# K ~= 2*nb*S*4096 ~= 10^8+ slots: gigabytes of HBM and seconds of
+# decode/dedupe work per batch (observed at 3.1 Gbp human-scale).
+_K_CEIL = int(os.environ.get("SOAP3DP_K_CEIL", 1 << 24))
+
+
 def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S,
                    uniform_len=0):
     """Dispatch _search_batch, growing the compaction budget on overflow.
@@ -382,6 +395,7 @@ def _run_compacted(idx, reads, lens, cfg, cap, steps, seed_q, B, S,
     compaction pushes pad entries to the end, so the prefix holds
     every valid hit and the host transfer shrinks to the real hit count.
     """
+    cap = max(16, min(cap, _K_CEIL // max(2 * B * S, 1)))
     K = shapes.bucket(2 * B * S * 2, min_size=1024)
     K_max = 2 * B * S * cap
     while True:
@@ -465,7 +479,11 @@ class PendingSearch:
         S_eff = self.seed_hi - self.seed_lo
         self.K = shapes.bucket(self.B * S_eff * 5 // 4, min_size=1024)
         self.K2 = shapes.bucket(self.B * 2, min_size=1024)
-        self.K_max = self.K2_max = 2 * self.B * S_eff * cfg.occ_cap
+        # round-1 cap pre-scaled so the lossless budget never exceeds
+        # the global work ceiling (only binds on huge batches)
+        self.cap1 = max(1, min(cfg.occ_cap,
+                               _K_CEIL // max(2 * self.B * S_eff, 1)))
+        self.K_max = self.K2_max = 2 * self.B * S_eff * self.cap1
         # uniform-length batches take the cheap lane-reversal revcomp
         self.uniform = int(self.lens_h[0]) \
             if (self.lens_h == self.lens_h[0]).all() else 0
@@ -473,7 +491,7 @@ class PendingSearch:
         # totals + flagged into one D2H transfer (one link sync/batch)
         with timers.stage("dispatch.jit"):
             self._wire = _search_batch_wire(
-                idx, self.packed, self.lens, cfg, cfg.occ_cap, self.steps,
+                idx, self.packed, self.lens, cfg, self.cap1, self.steps,
                 self.seed_q, min(self.K, self.K_max), L=self.L,
                 K2=min(self.K2, self.K2_max), uniform_len=self.uniform,
                 seed_lo=self.seed_lo, seed_hi=self.seed_hi)
@@ -518,7 +536,7 @@ class PendingSearch:
             if u > min(K2, self.K2_max):
                 K2 = min(shapes.bucket(u), self.K2_max)
             wire = _search_batch_wire(
-                self.idx, self.packed, self.lens, cfg, cfg.occ_cap,
+                self.idx, self.packed, self.lens, cfg, self.cap1,
                 self.steps, self.seed_q, min(K, self.K_max), L=self.L,
                 K2=min(K2, self.K2_max), uniform_len=self.uniform,
                 seed_lo=self.seed_lo, seed_hi=self.seed_hi)

@@ -159,3 +159,28 @@ def test_compressed_upload_equals_direct_resampled(small_index):
         del os.environ["SOAP3DP_DEVICE_REBUILD"]
     np.testing.assert_array_equal(np.asarray(compressed.mark_rank),
                                   np.asarray(idx16.mark_rank))
+
+
+def test_layout_safe_scans_match_native():
+    """cumsum_1d/cummax_1d/nonzero_prefix (utils/scans.py) must agree
+    with the native ops at sizes spanning the reshape boundaries —
+    these replace XLA's 1-D lowerings whose trailing-dim-1 tiling
+    blows up HBM at candidate-budget sizes (human-scale repeat runs)."""
+    import jax.numpy as jnp
+
+    from soap3dp_tpu.utils import scans
+
+    rng = np.random.default_rng(33)
+    for n in (7, 1024, 1025, 4096, 300_000, 2**21 + 13):
+        x = rng.integers(-50, 50, n).astype(np.int32)
+        assert np.array_equal(np.asarray(scans.cumsum_1d(jnp.asarray(x))),
+                              np.cumsum(x)), n
+        assert np.array_equal(np.asarray(scans.cummax_1d(jnp.asarray(x))),
+                              np.maximum.accumulate(x)), n
+        mask = rng.random(n) < 0.01
+        for size in (16, 4096):
+            want = np.full(size, -1, np.int64)
+            nz = np.flatnonzero(mask)[:size]
+            want[: len(nz)] = nz
+            got = np.asarray(scans.nonzero_prefix(jnp.asarray(mask), size))
+            assert np.array_equal(got, want), (n, size)

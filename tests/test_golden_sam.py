@@ -28,14 +28,26 @@ CASES = [
     ("pair_h4", dict(paired=True, output_mode=4)),
     ("single_h2_md", dict(paired=False, output_mode=2, output_md=True)),
     ("single_h1", dict(paired=False, output_mode=1)),
+    # k=4 through the full PE pipeline: reads re-planted with exactly 4
+    # substitutions spread over all 5 pigeonhole segments (VERDICT r3
+    # item 6; reference 4-mismatch kernels DV-Kernel.cu:4505-4741)
+    ("pair_h2_k4", dict(paired=True, output_mode=2, mismatches=4,
+                        plant4=True)),
 ]
 
 
-def _workload():
+def _workload(plant4: bool = False):
     import __graft_entry__ as g
 
     index, b1, b2, opts = g.make_tiny_pair_workload(
         genome_bp=100_000, n_pairs=36, read_len=64, insert=200, seed=12)
+    if plant4:
+        # deterministic 4-substitution planting on the first 12 pairs
+        # (both ends) — BWT-alignable only at k=4
+        for b in (b1, b2):
+            for i in range(12):
+                for off in (7, 21, 38, 55):
+                    b.codes[i, off] = (b.codes[i, off] + 1 + off % 3) % 4
     # quality ramp so quality-aware paths are covered deterministically
     L = b1.codes.shape[1]
     q = (33 + 5 + (np.arange(L, dtype=np.uint8) % 36))[None, :]
@@ -51,11 +63,12 @@ def _render(case_opts) -> str:
     from soap3dp_tpu.pipeline.pair import align_pair_batch
     from soap3dp_tpu.pipeline.single import align_single_batch
 
-    index, b1, b2 = _workload()
+    index, b1, b2 = _workload(case_opts.get("plant4", False))
     didx = device_index(index)
     opts = AlignOptions(min_insert=100, max_insert=400,
                         output_mode=case_opts["output_mode"],
                         output_md=case_opts.get("output_md", False),
+                        soap3_mismatch_allow=case_opts.get("mismatches", 3),
                         random_seed=7)
     buf = io.BytesIO()
     w = SamWriter(buf, index)

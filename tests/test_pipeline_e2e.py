@@ -894,3 +894,50 @@ def test_long_reads_500bp(small_index, small_device_index, small_genome):
         assert len(rr) == 2
         assert rr[0]["pos"] == p + 1, i
         assert not (rr[0]["flag"] & 0x4) and not (rr[1]["flag"] & 0x4)
+
+
+def test_k4_end_to_end(small_index, small_device_index, small_genome):
+    """k=4 through the FULL pipeline (VERDICT r3 item 6; the reference
+    ships dedicated 4-mismatch kernels, DV-Kernel.cu:4505-4741 /
+    definitions.h:116-121): reads with exactly 4 planted substitutions
+    must align via the BWT phase at k=4 (NM:i:4, full-length M CIGAR,
+    no DP), and pairs with 4+4 mismatches must pair in phase A."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(46)
+    L, insert = 64, 200
+    pos = rng2.integers(100, len(codes) - insert - 100, 6)
+
+    def plant4(s):
+        s = s.copy()
+        for off in (7, 21, 38, 55):  # spread over all 5 pigeonhole segs
+            s[off] = (s[off] + 1 + (off % 3)) % 4
+        return s
+
+    seqs = [plant4(codes[p:p + L]) for p in pos]
+    batch = make_batch(seqs)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               soap3_mismatch_allow=4)
+    assert summary.aligned_bwt == 6 and summary.aligned_dp == 0
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos):
+        r = byname[f"r{i}"]
+        assert r["pos"] == p + 1 and r["cigar"] == f"{L}M", i
+        assert r["tags"]["XM"] == "4", r["tags"]
+
+    # same reads at k=3 must NOT come from the BWT phase (DP salvage
+    # picks them up instead) — proving k=4 actually widened the search
+    summary3, recs3 = run_single(small_index, small_device_index, batch,
+                                 soap3_mismatch_allow=3)
+    assert summary3.aligned_bwt == 0
+
+    s1 = [plant4(codes[p:p + L]) for p in pos]
+    s2 = [plant4(dna.revcomp_codes(codes[p + insert - L:p + insert]))
+          for p in pos]
+    b1, b2 = make_batch(s1), make_batch(s2)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             soap3_mismatch_allow=4, min_insert=100,
+                             max_insert=300)
+    assert summary.paired_bwt == 6
+    for r in recs:
+        assert not r["flag"] & 4
+        assert r["tags"]["XM"] == "4"
