@@ -55,3 +55,39 @@ def test_recall_stressed_and_mapq_calibration(eval_genome):
     assert res["recall"] >= 0.995, res
     hi = res["mapq_buckets"]["mapq30-255"]
     assert hi["wrong"] <= max(1, hi["right"] // 2000), res
+
+
+def test_repeat_genome_accuracy():
+    """Accuracy on a repeat-structured genome (VERDICT r3 item 2): the
+    uniform-random gates saturate at recall 1.000, so this is the
+    regression-sensitive harness — Alu/LINE/satellite/segdup content
+    plus N runs at small scale (~45% repetitive). Contract under test:
+      - overall recall stays high even though repeat reads are
+        legitimately ambiguous,
+      - the MAPQ calibration holds (high-MAPQ records ~never wrong,
+        BGS-IO.cpp:2415-2463) without saturating to zero signal,
+      - the super-repetitive machinery actually fires (nonzero
+        still_flagged -> host re-align exercised at realistic rates).
+    Measured baseline (8 Mbp, 2000 pairs): recall 0.826, mapq30 wrong
+    0.36%, still_flagged 8."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools import repeat_genome
+    from tools.evaluate_accuracy import run_eval
+    from soap3dp_tpu.fm.fmindex import device_index
+    from soap3dp_tpu.index.builder import build_index
+
+    genome = repeat_genome.generate(4_000_000, seed=5, log=lambda m: None)
+    index = build_index(genome, sa_rate=2, lut_k=11)
+    didx = device_index(index)
+    st = genome.amb_starts.astype(np.int64)
+    ln = genome.amb_lengths.astype(np.int64)
+    keep = ln > 10
+    res = run_eval(genome.codes, index, didx, 800, 0.01, 0.001,
+                   excluded=(st[keep], st[keep] + ln[keep]))
+    assert res["unaligned"] <= 0.01, res
+    assert res["recall"] >= 0.70, res
+    assert res["mapq30_wrong_rate"] <= 0.01, res
+    # the repeat pathology must actually exercise the escalation path
+    assert res["still_flagged"] > 0, res

@@ -29,10 +29,12 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def simulate_pairs(codes: np.ndarray, n_pairs: int, read_len: int,
                    insert: int, sub_rate: float, indel_rate: float,
-                   rng: np.random.Generator):
+                   rng: np.random.Generator, excluded=None):
     """Returns (left, right, lens, true_pos1, true_pos2).
 
     Mutations model a diploid-ish donor: per-base substitutions at
@@ -42,6 +44,18 @@ def simulate_pairs(codes: np.ndarray, n_pairs: int, read_len: int,
     n = len(codes)
     L = read_len
     pos = rng.integers(0, n - insert - 1, n_pairs)
+    if excluded is not None and len(excluded[0]):
+        # real reads never come from assembly gaps (N runs): reject
+        # inserts overlapping an excluded region and resample
+        starts, ends = excluded
+        for _ in range(64):
+            i = np.searchsorted(ends, pos, side="right")
+            bad = (i < len(starts)) & (
+                starts[np.minimum(i, len(starts) - 1)] < pos + insert)
+            nb = int(bad.sum())
+            if not nb:
+                break
+            pos[bad] = rng.integers(0, n - insert - 1, nb)
     left = np.empty((n_pairs, L), np.uint8)
     right = np.empty((n_pairs, L), np.uint8)
     tp1 = pos.copy()
@@ -75,7 +89,8 @@ def simulate_pairs(codes: np.ndarray, n_pairs: int, read_len: int,
 
 def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
              sub_rate: float, indel_rate: float, read_len: int = 100,
-             insert: int = 300, tol: int = 8, seed: int = 7) -> dict:
+             insert: int = 300, tol: int = 8, seed: int = 7,
+             excluded=None) -> dict:
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
     from soap3dp_tpu.pipeline.pair import (RescueQueue, align_pair_batch,
@@ -83,14 +98,20 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
 
     rng = np.random.default_rng(seed)
     left, right, lens, tp1, tp2 = simulate_pairs(
-        codes, n_pairs, read_len, insert, sub_rate, indel_rate, rng)
+        codes, n_pairs, read_len, insert, sub_rate, indel_rate, rng,
+        excluded=excluded)
     names = np.array([b"e%07d" % i for i in range(n_pairs)])
     b1 = ReadBatch(names=names, codes=left, lens=lens, quals=None)
     b2 = ReadBatch(names=names, codes=right, lens=lens.copy(), quals=None)
     opts = AlignOptions(min_insert=insert // 2, max_insert=insert * 2,
                         soap3_mismatch_allow=3)
 
-    records = []  # (pair_idx, is_first, pos, mapq, flag)
+    records = []  # (pair_idx, is_first, GLOBAL pos, mapq, flag)
+    # record positions are chromosome-local; truth positions live in the
+    # concatenated coordinate space — translate back through offsets
+    # (single-chromosome genomes masked this before the multi-chromosome
+    # repeat genome existed)
+    offs = np.asarray(index.offsets, np.int64)
 
     class Collect:
         needs_seq = False
@@ -100,7 +121,8 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
             if rec.flag & 0x4:
                 return
             records.append((int(rec.qname[1:]), bool(rec.flag & 0x40),
-                            rec.pos, rec.mapq, rec.flag))
+                            int(offs[rec.chrom]) + rec.pos, rec.mapq,
+                            rec.flag))
 
         def write_block(self, names_, flags, chroms, poss, mapqs, cigars,
                         nms, **kw):
@@ -109,7 +131,8 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
                 if f & 0x4:
                     continue
                 records.append((int(bytes(names_[j])[1:]), bool(f & 0x40),
-                                int(poss[j]), int(mapqs[j]), f))
+                                int(offs[int(chroms[j])]) + int(poss[j]),
+                                int(mapqs[j]), f))
 
     out = Collect()
     rq = RescueQueue(index, didx, opts)
@@ -146,13 +169,20 @@ def run_eval(codes: np.ndarray, index, didx, n_pairs: int,
                     s[0] += okp
                     s[1] += not okp
     n_ends = 2 * n_pairs
+    hi = stats["mapq30-255"]
     return {
         "n_ends": n_ends,
         "recall": found / n_ends,
         "wrong": wrong / n_ends,
         "unaligned": missing / n_ends,
+        # the calibration contract: high-MAPQ records are ~never wrong
+        # (BGS-IO.cpp:2415-2463); on repeat genomes overall `wrong`
+        # includes legitimately ambiguous low-MAPQ placements
+        "mapq30_wrong_rate": (hi[1] / max(hi[0] + hi[1], 1)),
         "mapq_buckets": {k: {"right": v[0], "wrong": v[1]}
                          for k, v in stats.items()},
+        "still_flagged": int(getattr(summary, "still_flagged", 0)),
+        "capped_anchors": int(getattr(summary, "capped_anchors", 0)),
         "summary": str(summary),
     }
 
@@ -169,24 +199,48 @@ def main() -> int:
     from soap3dp_tpu.utils.dna import pack_codes
 
     args = sys.argv[1:]
+    hg = "--hg" in args
+    if hg:
+        args.remove("--hg")
     n_pairs = int(args[0]) if len(args) > 0 else 20_000
     sub_rate = float(args[1]) if len(args) > 1 else 0.01
     indel_rate = float(args[2]) if len(args) > 2 else 0.001
     mbp = float(args[3]) if len(args) > 3 else 5
     lut_k = int(args[4]) if len(args) > 4 else 13
 
-    rng = np.random.default_rng(3)
-    n = int(mbp * 1e6)
-    codes = rng.integers(0, 4, n).astype(np.uint8)
-    genome = PackedGenome(
-        codes=codes, pac=pack_codes(codes), length=n, names=["chr1"],
-        offsets=np.array([0, n], np.uint64),
-        amb_starts=np.zeros(0, np.uint64), amb_lengths=np.zeros(0, np.uint64))
-    index = build_index(genome, sa_rate=2, lut_k=lut_k)
+    excluded = None
+    if hg and abs(mbp - 3100) < 1:
+        # the cached human-scale repeat index (built by
+        # tools/build_bench_indexes.py); runs on the TPU
+        import bench
+        got = bench.get_hg_index()
+        assert got is not None, "build the 3.1Gbp hg index first"
+        index, codes, excluded = got
+        codes = np.asarray(codes)
+    elif hg:
+        # small-scale repeat-structured genome, generated in process
+        from tools import repeat_genome
+        genome = repeat_genome.generate(int(mbp * 1e6), seed=5)
+        st, ln = genome.amb_starts.astype(np.int64),             genome.amb_lengths.astype(np.int64)
+        keep = ln > 10
+        excluded = (st[keep], st[keep] + ln[keep])
+        codes = genome.codes
+        index = build_index(genome, sa_rate=2, lut_k=lut_k)
+    else:
+        rng = np.random.default_rng(3)
+        n = int(mbp * 1e6)
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        genome = PackedGenome(
+            codes=codes, pac=pack_codes(codes), length=n, names=["chr1"],
+            offsets=np.array([0, n], np.uint64),
+            amb_starts=np.zeros(0, np.uint64),
+            amb_lengths=np.zeros(0, np.uint64))
+        index = build_index(genome, sa_rate=2, lut_k=lut_k)
     didx = device_index(index)
 
     import json
-    res = run_eval(codes, index, didx, n_pairs, sub_rate, indel_rate)
+    res = run_eval(codes, index, didx, n_pairs, sub_rate, indel_rate,
+                   excluded=excluded)
     print(json.dumps(res, indent=1))
     return 0
 

@@ -125,8 +125,11 @@ def _paste_satellite(rng, chrom: np.ndarray, center: int,
     pasted = 0
     pos = center
     n = len(chrom)
+    if n <= 2 * len(unit):
+        return 0
+    max_units = (n - 2) // len(unit)
     while pasted < budget:
-        arr_units = int(rng.integers(20, 200))
+        arr_units = min(int(rng.integers(20, 200)), max_units)
         arr = np.broadcast_to(unit, (arr_units, len(unit))).copy()
         _mutate_tiles(rng, arr, np.full(arr_units, 0.005, np.float32))
         arr = arr.ravel()
