@@ -26,6 +26,7 @@ number survives a tight driver budget):
               steps past the LUT + sampled-SA LF walks on the hot path
   se_scale    the reference's own headline shape: 1M x 100bp SE
   sam_out     40Mbp index with SAM text output (the default -b 2 path)
+  human_sam   3.1Gbp index with SAM text output (budget-gated, last)
 
 `value` (headline) = median of the warm-pass elapsed rates of the best
 available profile (human_scale > main), pass 0 dropped (residual
@@ -67,6 +68,7 @@ _DESC = {
     "sam_out": "40Mbp synthetic index, SAM text output",
     "se_scale": "250Mbp synthetic index, single-end",
     "human_scale": "3.1Gbp repeat-structured genome (~31% repeats + N runs)",
+    "human_sam": "3.1Gbp repeat-structured genome, SAM text output",
 }
 
 
@@ -482,6 +484,17 @@ def main() -> int:
             profiles["sam_out"] = run_profile("sam_out", index40, codes40,
                                               samw, SCALE_PAIRS, BATCH)
             emit(profiles)
+        # human-scale SAM text output (VERDICT r3 #4): last, so the
+        # budget gate protects the headline profiles above
+        if want("human_sam"):
+            hg = get_hg_index()
+            if hg is not None:
+                indexh, codesh, excl = hg
+                profiles["human_sam"] = run_profile(
+                    "human_sam", indexh, codesh, samw, SCALE_PAIRS,
+                    BATCH, excluded=excl)
+                del indexh, codesh
+                emit(profiles)
     finally:
         # final flush: identical to the last incremental emit, but it
         # also covers a SIGTERM mid-profile (timeout(1) sends TERM)

@@ -59,6 +59,30 @@ class SamRecord:
     tags: list[str] = dataclasses.field(default_factory=list)
 
 
+def _gather_pair(seq_codes, quals, seq_src):
+    """Materialize the seq_src form into (N, L) matrices: row i comes
+    from mate1[src] when seq_src[i] >= 0 else mate2[~src]. A bare
+    matrix (the single-source SE form) acts as mate1 with no mate2."""
+    if not isinstance(seq_codes, tuple):
+        seq_codes = (seq_codes, np.zeros((0, 1), np.uint8))
+        if quals is not None:
+            quals = (quals, np.zeros((0, 1), np.uint8))
+    m1, m2 = (np.asarray(m, np.uint8) for m in seq_codes)
+    src = np.asarray(seq_src, np.int64)
+    L = max(m1.shape[1], m2.shape[1])
+    out = np.zeros((len(src), L), np.uint8)
+    one = src >= 0
+    out[one, :m1.shape[1]] = m1[src[one]]
+    out[~one, :m2.shape[1]] = m2[~src[~one]]
+    if quals is None:
+        return out, None
+    q1, q2 = (np.asarray(m, np.uint8) for m in quals)
+    qo = np.zeros((len(src), L), np.uint8)
+    qo[one, :q1.shape[1]] = q1[src[one]]
+    qo[~one, :q2.shape[1]] = q2[~src[~one]]
+    return out, qo
+
+
 class SamWriter:
     """Streaming SAM text writer."""
 
@@ -117,7 +141,7 @@ class SamWriter:
     def write_block(self, names, flags, chroms, poss, mapqs, cigars, nms, *,
                     mate_chroms=None, mate_poss=None, tlens=None,
                     seq_codes=None, seq_lens=None, quals=None,
-                    tags=None) -> None:
+                    tags=None, seq_src=None) -> None:
         """Columnar bulk write of N gapless records (the SAM-text analog
         of the succinct block writer; the reference buffers via its OCC
         cache, OCCFlushCacheSAMAPI): every field is assembled with
@@ -128,6 +152,12 @@ class SamWriter:
         arrays for the standard X0/X1/XM/XO/XG block. nms is accepted
         for writer-protocol compatibility (NM is only emitted by the
         -p slow path).
+
+        Hot-path forms (VERDICT r3 #4): cigars=None emits gapless
+        "<seq_len>M"; seq_codes/quals may be (mate1, mate2) matrix
+        pairs with seq_src per-record row indices (src >= 0 ->
+        mate1[src], src < 0 -> mate2[~src]) so PE emitters skip the
+        (2N, L) interleave copy.
         """
         N = len(names)
         if N == 0:
@@ -142,10 +172,17 @@ class SamWriter:
             text = sam_native.format_block(
                 names, flags, self._rname_buf, self._rname_off, chroms,
                 poss, mapqs, cigars, mate_chroms, mate_poss, tlens,
-                seq_codes, seq_lens, quals, tags)
+                seq_codes, seq_lens, quals, tags, seq_src=seq_src)
             if text is not None:
                 self._fh.write(text)
                 return
+
+        # numpy fallback: materialize the hot-path forms first
+        if seq_codes is not None and seq_src is not None:
+            seq_codes, quals = _gather_pair(seq_codes, quals, seq_src)
+        if cigars is None:
+            cigars = np.char.add(
+                np.asarray(seq_lens).astype("S11"), b"M")
 
         def dec(a):
             return np.char.mod(b"%d", np.asarray(a))

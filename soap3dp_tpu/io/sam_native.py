@@ -46,15 +46,16 @@ def _load():
         lib.sam_format_block.restype = ctypes.c_int64
         lib.sam_format_block.argtypes = [
             ctypes.c_int64,                       # n
-            _U8P, _I64P,                          # names, name_off
+            _U8P, _I64P, ctypes.c_int64,          # names, name_off, name_w
             _I64P,                                # flags
             _U8P, _I64P,                          # rnames, rname_off
             _I64P, _I64P, _I64P,                  # chroms, poss, mapqs
-            _U8P, _I64P,                          # cigars, cigar_off
+            _U8P, _I64P, ctypes.c_int32,          # cigars, cigar_off, gapless
             ctypes.c_int32, _I64P, _I64P, _I64P,  # has_mate, mc, mp, tlen
             ctypes.c_int32, ctypes.c_int64,       # has_seq, L
             _U8P, _I64P,                          # seq_codes, seq_lens
             ctypes.c_int32, _U8P,                 # has_qual, quals
+            _U8P, _U8P, _I64P, ctypes.c_int64,    # seq2, quals2, seq_src, L2
             ctypes.c_int32, _I64P, _I64P, _I64P,  # has_tags, x0, x1, xm
             _U8P, ctypes.c_int64]                 # out, out_cap
         _lib = lib
@@ -97,17 +98,36 @@ def _p8(a):
 
 def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
                  cigars, mate_chroms, mate_poss, tlens, seq_codes, seq_lens,
-                 quals, tags) -> bytes | None:
+                 quals, tags, seq_src=None) -> memoryview | None:
     """SAM text for a columnar block, or None when native is unavailable.
 
     rname_buf/rname_off are the writer's precomputed chrom-name table;
-    everything else mirrors SamWriter.write_block's arguments.
+    everything else mirrors SamWriter.write_block's arguments. Returns a
+    memoryview over a freshly allocated buffer (no extra copy; the
+    caller hands it straight to file.write).
+
+    Hot-path forms (VERDICT r3 #4 — the sam_out serialization tax):
+      * names as a numpy 'S' array go to C as the fixed-width buffer
+        itself (NUL-trim in C), skipping the ragged concat
+      * cigars=None means gapless "<seq_len>M" formatted in C
+      * seq_codes/quals may each be a (mate1, mate2) matrix pair with
+        seq_src giving per-record rows (src >= 0 -> mate1[src],
+        src < 0 -> mate2[~src]) so PE blocks skip the interleave copy
     """
     lib = _load()
     if lib is None:
         return None
     n = len(names)
-    name_buf, name_off = _concat_with_offsets(names)
+    nm = names if isinstance(names, np.ndarray) else np.asarray(names)
+    if nm.dtype.kind == "S" and nm.dtype.itemsize > 0:
+        name_w = nm.dtype.itemsize
+        name_buf = np.ascontiguousarray(nm).view(np.uint8)
+        name_off = None
+        name_total = n * name_w  # upper bound for the cap estimate
+    else:
+        name_w = 0
+        name_buf, name_off = _concat_with_offsets(names)
+        name_total = int(name_off[-1])
     if cigars is not None:
         if not (isinstance(cigars, np.ndarray) and cigars.dtype.kind == "S"):
             cigars = [c if isinstance(c, bytes) else c.encode()
@@ -128,7 +148,17 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
     mp = i64(mate_poss) if has_mate else flags
     tl = i64(tlens) if has_mate else flags
     has_seq = seq_codes is not None
-    if has_seq:
+    two_src = has_seq and isinstance(seq_codes, tuple)
+    seq2 = np.zeros((0, 0), np.uint8)
+    qual2 = np.zeros(0, np.uint8)
+    L2 = 0
+    src_a = None
+    if two_src:
+        seq_codes, seq2 = (np.ascontiguousarray(m, np.uint8)
+                           for m in seq_codes)
+        L, L2 = seq_codes.shape[1], seq2.shape[1]
+        seq_lens = i64(seq_lens)
+    elif has_seq:
         seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
         L = seq_codes.shape[1]
         seq_lens = i64(seq_lens)
@@ -136,9 +166,15 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
         seq_codes = np.zeros((0, 0), np.uint8)
         L = 0
         seq_lens = flags
+    if has_seq and seq_src is not None:
+        src_a = i64(seq_src)
     has_qual = quals is not None
-    qual_a = np.ascontiguousarray(quals, np.uint8) if has_qual \
-        else np.zeros(0, np.uint8)
+    if has_qual and two_src:
+        qual_a, qual2 = (np.ascontiguousarray(m, np.uint8) for m in quals)
+    elif has_qual:
+        qual_a = np.ascontiguousarray(quals, np.uint8)
+    else:
+        qual_a = np.zeros(0, np.uint8)
     has_tags = tags is not None
     if has_tags:
         x0, x1, xm = (i64(t) for t in tags)
@@ -147,19 +183,23 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
 
     rn = np.asarray(rname_off)
     rn_max = int((rn[1:] - rn[:-1]).max()) if len(rn) > 1 else 1
-    cap = int(name_off[-1]) + int(cig_off[-1] if cig_off is not None else n) \
-        + n * (2 * L + 2 * max(rn_max, 1) + 170)
+    cap = name_total + int(cig_off[-1] if cig_off is not None else 22 * n) \
+        + n * (2 * max(L, L2) + 2 * max(rn_max, 1) + 170)
     out = np.empty(cap, np.uint8)
     written = lib.sam_format_block(
-        n, _p8(name_buf), _p64(name_off), _p64(flags),
-        _p8(rname_buf), _p64(rname_off),
+        n, _p8(name_buf),
+        _p64(name_off) if name_off is not None else None, name_w,
+        _p64(flags), _p8(rname_buf), _p64(rname_off),
         _p64(chroms), _p64(poss), _p64(mapqs),
         _p8(cig_buf), _p64(cig_off) if cig_off is not None else None,
+        1 if cigars is None else 0,
         1 if has_mate else 0, _p64(mc), _p64(mp), _p64(tl),
         1 if has_seq else 0, L, _p8(seq_codes), _p64(seq_lens),
         1 if has_qual else 0, _p8(qual_a),
+        _p8(seq2), _p8(qual2),
+        _p64(src_a) if src_a is not None else None, L2,
         1 if has_tags else 0, _p64(x0), _p64(x1), _p64(xm),
         _p8(out), cap)
     if written < 0:
         return None  # capacity miss: numpy fallback handles it
-    return out[:written].tobytes()
+    return memoryview(out.data)[:written]

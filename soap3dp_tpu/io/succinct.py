@@ -69,12 +69,18 @@ class SuccinctWriter:
         self.close()
 
     def write_block(self, names: list[bytes], flags, chroms, poss, mapqs,
-                    cigars: list[bytes], nms, **_kw) -> None:
+                    cigars: list[bytes] | None, nms, *, seq_lens=None,
+                    **_kw) -> None:
         """Columnar bulk write: serialize N records with vectorized
         numpy byte assembly (one Python pass only for the ragged
         name/cigar copies' source concat). The analog of the
         reference's OCC cache flush (OCCFlushCacheDefault) — records
-        buffer up and hit the stream in one write."""
+        buffer up and hit the stream in one write.
+
+        cigars=None means gapless "<seq_len>M" (VERDICT r3 #4): the
+        all-equal-length case — every gapless fast-path block with
+        fixed-length reads — tiles one constant byte string instead of
+        formatting N strings."""
         N = len(names)
         if N == 0:
             return
@@ -88,7 +94,17 @@ class SuccinctWriter:
                                            scatter_idx)
 
         qlen, src = flatten_bytes(names)
-        clen, csrc = flatten_bytes(cigars)
+        if cigars is None:
+            lens_a = np.asarray(seq_lens, np.int64)
+            if N and (lens_a == lens_a[0]).all():
+                one = b"%dM" % int(lens_a[0])
+                clen = np.full(N, len(one), np.int64)
+                csrc = np.tile(np.frombuffer(one, np.uint8), N)
+            else:
+                cigars = np.char.add(lens_a.astype("S11"), b"M")
+                clen, csrc = flatten_bytes(cigars)
+        else:
+            clen, csrc = flatten_bytes(cigars)
         rec_len = 19 + qlen + clen
         off = offsets_of(rec_len)
         buf = np.zeros(off[-1], np.uint8)
@@ -326,19 +342,24 @@ class BamWriter:
     def write_block(self, names, flags, chroms, poss, mapqs, cigars, nms, *,
                     mate_chroms=None, mate_poss=None, tlens=None,
                     seq_codes=None, seq_lens=None, quals=None,
-                    tags=None) -> None:
+                    tags=None, seq_src=None) -> None:
         """Columnar bulk write of N gapless mapped records straight to
         BAM binary — no SAM-text round trip. Byte-identical to the
         per-record ``write`` path (the test asserts this), assembled
         with vectorized numpy scatters like the succinct/SAM block
         writers. cigars are single-op ``<len>M`` entries (the fast
-        path guarantees gapless); seq_codes is the FORWARD 2-bit code
-        matrix, reverse-flagged rows are flipped+complemented in bulk.
+        path guarantees gapless — cigars=None means the same thing and
+        is the normal hot-path form); seq_codes is the FORWARD 2-bit
+        code matrix (or a (mate1, mate2) pair with seq_src row
+        indices), reverse-flagged rows are flipped+complemented in bulk.
         """
         N = len(names)
         if N == 0:
             return
         del nms  # NM only appears on the -p slow path, as in SAM
+        if seq_codes is not None and seq_src is not None:
+            from soap3dp_tpu.io.sam import _gather_pair
+            seq_codes, quals = _gather_pair(seq_codes, quals, seq_src)
         flags = np.asarray(flags, np.int64)
         chroms = np.asarray(chroms, np.int32)
         poss = np.asarray(poss, np.int64)

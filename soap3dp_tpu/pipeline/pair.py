@@ -757,35 +757,33 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
         names = np.empty(2 * len(fi), f"S{W}")
         names[0::2] = n1a
         names[1::2] = n2a
-        # "<len>M" cigars, vectorized (no per-record Python)
-        cigars = np.char.add(
-            np.stack([lens1[bsel], lens2[bsel]], axis=1)
-            .reshape(-1).astype("S11"), b"M")
 
         def inter(a, b_):
             return np.stack([np.asarray(a)[fi], np.asarray(b_)[fi]],
                             axis=1).reshape(-1)
 
-        kw = {}
+        # cigars=None -> gapless "<len>M" formatted by the writer
+        # (the SAM C path digits them from seq_lens; VERDICT r3 #4)
+        kw = {"seq_lens": inter(lens1, lens2)}
         if getattr(writer, "needs_seq", True):
-            Lm = max(b1.codes.shape[1], b2.codes.shape[1])
-            sc_ = np.zeros((2 * len(fi), Lm), np.uint8)
-            sc_[0::2, :b1.codes.shape[1]] = b1.codes[bsel]
-            sc_[1::2, :b2.codes.shape[1]] = b2.codes[bsel]
-            kw["seq_codes"] = sc_
-            kw["seq_lens"] = inter(lens1, lens2)
+            # two-source form: the full batch code/qual matrices go
+            # down uncopied, seq_src picks rows (>=0 -> mate1, <0 ->
+            # ~mate2); the old (2N, L) interleave copy cost ~0.26us/rec
+            # on the emitting thread
+            kw["seq_codes"] = (b1.codes, b2.codes)
+            src = np.empty(2 * len(fi), np.int64)
+            src[0::2] = bsel
+            src[1::2] = ~bsel
+            kw["seq_src"] = src
             if b1.quals is not None and b2.quals is not None:
-                qm = np.zeros((2 * len(fi), Lm), np.uint8)
-                qm[0::2, :b1.quals.shape[1]] = b1.quals[bsel]
-                qm[1::2, :b2.quals.shape[1]] = b2.quals[bsel]
-                kw["quals"] = qm
+                kw["quals"] = (b1.quals, b2.quals)
         if needs_tags:
             kw["tags"] = (inter(st1.x0[paired], st2.x0[paired]),
                           inter(st1.x1[paired], st2.x1[paired]),
                           inter(t1.nmis[r1], t2.nmis[r2]))
         writer.write_block(
             names, inter(f1, f2), inter(c1, c2), inter(o1, o2),
-            inter(mq1, mq2), cigars, np.zeros(2 * len(fi), np.int32),
+            inter(mq1, mq2), None, np.zeros(2 * len(fi), np.int32),
             mate_chroms=inter(c2, c1), mate_poss=inter(o2, o1),
             tlens=inter(tlen1, -tlen1), **kw)
         keep = ~fast

@@ -365,20 +365,14 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
     if fast.any() and hasattr(writer, "write_block"):
         fi = np.flatnonzero(fast)
         bsel = reads_sel[fi]
-        cig_cache: dict[int, bytes] = {}
-
-        def cig(rl):
-            c = cig_cache.get(rl)
-            if c is None:
-                c = cig_cache[rl] = b"%dM" % rl
-            return c
-
-        kw = {}
+        # cigars=None -> gapless "<len>M" from seq_lens; the batch code/
+        # qual matrices pass down uncopied with seq_src row indices
+        kw = {"seq_lens": batch.lens[bsel]}
         if getattr(writer, "needs_seq", True):
-            kw["seq_codes"] = batch.codes[bsel]
-            kw["seq_lens"] = batch.lens[bsel]
+            kw["seq_codes"] = batch.codes
+            kw["seq_src"] = bsel.astype(np.int64)
             if batch.quals is not None:
-                kw["quals"] = batch.quals[bsel]
+                kw["quals"] = batch.quals
         if getattr(writer, "needs_tags", True):
             kw["tags"] = (stats.x0[bsel], stats.x1[bsel],
                           table.nmis[prim_rows[fi]])
@@ -386,8 +380,7 @@ def _emit_gapless_batch(index, writer, batch, table, selected, stats,
             np.asarray(batch.names)[bsel],
             np.where(strands[fi] == 1, sam.FLAG_REVERSE, 0),
             chrom[fi], off[fi], np.asarray(mq)[bsel],
-            [cig(int(batch.lens[b])) for b in bsel],
-            np.zeros(len(fi), np.int32), **kw)
+            None, np.zeros(len(fi), np.int32), **kw)
         keep = ~fast
     else:
         keep = np.ones(len(reads_sel), bool)
