@@ -393,6 +393,68 @@ def test_sam_native_formatter_matches_numpy(tmp_path, small_index, rng,
     assert outs["native"] == outs["numpy"]
 
 
+def test_sam_hotpath_forms_match_numpy(tmp_path, small_index, rng,
+                                       monkeypatch):
+    """The hot-path write_block forms (cigars=None gapless, 'S'-array
+    names, two-source seq/qual matrices with seq_src row indices, and
+    the bare-matrix + seq_src SE form) emit byte-identical text on the
+    C and numpy paths (VERDICT r3 #4)."""
+    import numpy as np
+    from soap3dp_tpu.io import sam_native
+    from soap3dp_tpu.io.sam import SamWriter
+
+    if not sam_native.available():
+        import pytest
+        pytest.skip("no native compiler")
+
+    n, L1, L2 = 64, 50, 44
+    names = np.array([b"pair_%04d/%d" % (i // 2, i % 2 + 1)
+                      for i in range(n)])
+    flags = rng.choice([0x63, 0x53, 0x93, 0xA3], n)
+    chroms = np.zeros(n, np.int64)
+    poss = rng.integers(0, 10_000, n)
+    mapqs = rng.integers(0, 60, n)
+    m1 = rng.integers(0, 4, (n // 2, L1)).astype(np.uint8)
+    m2 = rng.integers(0, 4, (n // 2, L2)).astype(np.uint8)
+    q1 = rng.integers(33, 73, (n // 2, L1)).astype(np.uint8)
+    q2 = rng.integers(33, 73, (n // 2, L2)).astype(np.uint8)
+    src = np.empty(n, np.int64)
+    src[0::2] = np.arange(n // 2)
+    src[1::2] = ~np.arange(n // 2)
+    lens = np.where(src >= 0,
+                    rng.integers(20, L1 + 1, n),
+                    rng.integers(20, L2 + 1, n)).astype(np.int64)
+    tags = (rng.integers(1, 5, n), rng.integers(0, 3, n),
+            rng.integers(0, 4, n))
+    tlens = rng.integers(-500, 500, n)
+    cases = {
+        "pe2src": dict(seq_codes=(m1, m2), quals=(q1, q2), seq_src=src),
+        "se1src": dict(seq_codes=np.vstack([m1, m1]),
+                       quals=np.vstack([q1, q1]),
+                       seq_src=np.abs(src)),
+    }
+    for case, seqkw in cases.items():
+        outs = {}
+        for tag, native in (("native", True), ("numpy", False)):
+            mp = monkeypatch if not native else None
+            if mp:
+                mp.setattr(sam_native, "available", lambda: False)
+            p = tmp_path / f"{case}_{tag}.sam"
+            w = SamWriter(str(p), small_index)
+            w.write_block(names, flags, chroms, poss, mapqs, None,
+                          np.zeros(n, np.int32), mate_chroms=chroms,
+                          mate_poss=poss[::-1].copy(), tlens=tlens,
+                          seq_lens=lens, tags=tags, **seqkw)
+            w.close()
+            outs[tag] = p.read_bytes()
+            if mp:
+                mp.undo()
+        assert outs["native"] == outs["numpy"], case
+        # gapless cigars really are "<len>M"
+        line0 = outs["native"].splitlines()[-1].split(b"\t")
+        assert line0[5] == b"%dM" % lens[-1]
+
+
 def test_reg2bin():
     from soap3dp_tpu.io.succinct import reg2bin
 
