@@ -420,7 +420,11 @@ def main() -> int:
                                           index))
 
     def samw(index):
-        return AsyncWriter(SamWriter(os.path.join(CACHE, "bench.sam"), index))
+        # BENCH_SAM_PATH=/dev/null isolates serialization CPU from the
+        # disk byte-output cost (diagnostic; default measures both)
+        path = os.environ.get("BENCH_SAM_PATH",
+                              os.path.join(CACHE, "bench.sam"))
+        return AsyncWriter(SamWriter(path, index))
 
     # BENCH_ONLY=chr1_scale (or main/sam_out/human_scale, comma-separated)
     # runs a subset — for profiling iteration; the driver runs all five
@@ -481,8 +485,12 @@ def main() -> int:
         if want("sam_out"):
             if index40 is None:
                 index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
+            # same workload as `main` (N_PAIRS, not SCALE_PAIRS): with
+            # only 2 batches the one-batch-deferred Phase2/rescue work
+            # cannot overlap, which under-reports the profile for
+            # reasons unrelated to SAM serialization
             profiles["sam_out"] = run_profile("sam_out", index40, codes40,
-                                              samw, SCALE_PAIRS, BATCH)
+                                              samw, N_PAIRS, BATCH)
             emit(profiles)
         # human-scale SAM text output (VERDICT r3 #4): last, so the
         # budget gate protects the headline profiles above

@@ -169,12 +169,15 @@ class SamWriter:
 
         from soap3dp_tpu.io import sam_native
         if sam_native.available():
-            text = sam_native.format_block(
-                names, flags, self._rname_buf, self._rname_off, chroms,
-                poss, mapqs, cigars, mate_chroms, mate_poss, tlens,
-                seq_codes, seq_lens, quals, tags, seq_src=seq_src)
+            from soap3dp_tpu.utils import timers
+            with timers.stage("io.sam.format"):
+                text = sam_native.format_block(
+                    names, flags, self._rname_buf, self._rname_off, chroms,
+                    poss, mapqs, cigars, mate_chroms, mate_poss, tlens,
+                    seq_codes, seq_lens, quals, tags, seq_src=seq_src)
             if text is not None:
-                self._fh.write(text)
+                with timers.stage("io.sam.fwrite"):
+                    self._fh.write(text)
                 return
 
         # numpy fallback: materialize the hot-path forms first

@@ -15,6 +15,7 @@ from contextlib import contextmanager
 
 ENABLED = bool(os.environ.get("SOAP3DP_TIMERS"))
 _acc: dict[str, float] = {}
+_cpu: dict[str, float] = {}
 _cnt: dict[str, int] = {}
 
 
@@ -24,11 +25,14 @@ def stage(name: str):
         yield
         return
     t0 = time.time()
+    c0 = time.thread_time()
     try:
         yield
     finally:
-        dt = time.time() - t0
-        _acc[name] = _acc.get(name, 0.0) + dt
+        # wall time on a busy single-core host includes GIL/scheduler
+        # waits; thread CPU time is the honest per-stage cost
+        _acc[name] = _acc.get(name, 0.0) + (time.time() - t0)
+        _cpu[name] = _cpu.get(name, 0.0) + (time.thread_time() - c0)
         _cnt[name] = _cnt.get(name, 0) + 1
 
 
@@ -37,7 +41,9 @@ def report(prefix: str = "[timers]") -> None:
         return
     total = sum(_acc.values())
     for name, secs in sorted(_acc.items(), key=lambda kv: -kv[1]):
-        print(f"{prefix} {name:<32s} {secs:8.3f}s x{_cnt[name]:<5d} "
+        print(f"{prefix} {name:<32s} {secs:8.3f}s "
+              f"(cpu {_cpu.get(name, 0.0):7.3f}s) x{_cnt[name]:<5d} "
               f"{100 * secs / total:5.1f}%", file=sys.stderr)
     _acc.clear()
+    _cpu.clear()
     _cnt.clear()
