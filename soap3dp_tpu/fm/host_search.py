@@ -1,19 +1,28 @@
-"""Host complete re-alignment of super-repetitive reads.
+"""Host re-alignment of super-repetitive reads.
 
 The rebuild's analog of the reference's host re-align of "super-bad"
 reads (ProcessReadDoubleStrand2, CPUfunctions.cpp:555, invoked from
 collect_all_answers CPUfunctions.cpp:1226): a read whose seeds stay
 over the SA-interval budget even in the device's round-3 escalation
-gets its COMPLETE <=k-mismatch placement set enumerated here, on the
-host, against the same flat occ/bwt/mark/pac tables the device uses
+gets its <=k-mismatch placement set enumerated here, on the host,
+against the same flat occ/bwt/mark/pac tables the device uses
 (mmap'd, so this costs no extra resident memory).
 
-Only ultra-repetitive reads land here — a handful per run — so host
-latency is irrelevant; completeness is the point. The single guard is
-``max_interval``: a seed occurring more than ~a million times would
-make even the reference's "complete" set useless, and such reads keep
-their truncated set plus the ``flagged`` mark (surfaced in the run
-summary).
+Host work is bounded the same way the reference bounds it: the
+per-read occurrence decode is clamped (``max_decode``, the analog of
+MaxOutputPerRead/MaxHitsEachEndForPairing truncation at
+CPUfunctions.cpp:1287-1299) and ``realign_flagged`` re-aligns at most
+``budget`` reads per batch. On a uniform genome a handful of reads
+land here per run; a repeat-structured genome can flag >5% of a batch
+(centromeric satellite and microsatellite reads — some seed intervals
+exceed 10^6 occurrences), and decoding those completely would cost
+minutes of host time per batch. Beyond-cap reads keep their truncated
+sets plus the ``flagged`` mark (surfaced in the run summary) and the
+pair/single DP rescue engines — the reference's own route for
+over-cap reads — recover their placements anchored on the mate.
+SOAP3DP_HOST_REALIGN_FULL=1 restores unbounded complete enumeration;
+``max_interval`` (a seed occurring more than ~a million times) still
+guards even that.
 
 Everything is vectorized numpy except the per-character backward-search
 loop (segment length iterations of scalar interval updates).
@@ -138,20 +147,26 @@ def complete_search(
     length: int,
     k: int,
     max_interval: int = 1 << 20,
+    max_decode: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
-    """COMPLETE <=k-mismatch placements of one read, both strands.
+    """<=k-mismatch placements of one read, both strands.
 
     Returns (strand, tp, nmis, overflow): parallel arrays of every
-    placement, and whether any seed interval exceeded ``max_interval``
-    (in which case that seed's placements are missing and the caller
-    should keep the read flagged).
+    placement found, and whether any seed interval was skipped
+    (``max_interval``) or truncated (``max_decode``) — in which case
+    placements may be missing and the caller should keep the read
+    flagged.
 
-    Completeness: the read is split into k+1 full pigeonhole segments;
-    any <=k-mismatch placement contains at least one exact segment, so
-    decoding EVERY occurrence of every segment and verifying yields the
-    full set — the same guarantee the reference's host SRA model
-    provides via exhaustive mismatch-case enumeration
-    (2bwt-flex/SRA2BWTMdl.c).
+    ``max_decode`` bounds the total occurrences decoded per strand,
+    truncating an over-budget interval to its first ``remaining``
+    rows — exactly the reference host search's occurrence cap
+    (CPUfunctions.cpp:1287-1299 clamps r to MaxOutputPerRead). With
+    max_decode=None the enumeration is COMPLETE: the read is split
+    into k+1 full pigeonhole segments; any <=k-mismatch placement
+    contains at least one exact segment, so decoding EVERY occurrence
+    of every segment and verifying yields the full set — the guarantee
+    the reference's host SRA model provides via exhaustive
+    mismatch-case enumeration (2bwt-flex/SRA2BWTMdl.c).
     """
     from soap3dp_tpu.utils import dna
 
@@ -164,6 +179,7 @@ def complete_search(
     overflow = False
     for strand, seq in ((0, seq_f), (1, dna.revcomp_codes(seq_f))):
         cand: list[np.ndarray] = []
+        remaining = max_decode
         for s in range(S):
             st = s * length // S
             en = (s + 1) * length // S
@@ -174,7 +190,14 @@ def complete_search(
             if width > max_interval:
                 overflow = True
                 continue
-            pos = decode_rows(index, np.arange(l, r, dtype=np.uint32)
+            take = width if remaining is None else min(width, remaining)
+            if take < width:
+                overflow = True
+            if take == 0:
+                continue
+            if remaining is not None:
+                remaining -= take
+            pos = decode_rows(index, np.arange(l, l + take, dtype=np.uint32)
                               ).astype(np.int64) - st
             cand.append(pos[(pos >= 0) & (pos + length <= n)])
         if not cand:
@@ -196,10 +219,26 @@ def complete_search(
 
 
 def realign_flagged(index: Index, h, codes: np.ndarray, lens: np.ndarray,
-                    k: int, max_interval: int = 1 << 20):
-    """Replace still-flagged reads' truncated hit sets with complete
-    host-enumerated ones; clears ``flagged`` except on max_interval
-    overflow. Returns a new HitArrays (host numpy)."""
+                    k: int, max_interval: int = 1 << 20,
+                    max_decode: int | None = None,
+                    budget: int | None = None):
+    """Replace still-flagged reads' truncated hit sets with
+    host-enumerated ones; clears ``flagged`` except on
+    max_interval/max_decode overflow. Returns a new HitArrays (host
+    numpy).
+
+    ``max_decode`` caps occurrences decoded per read per strand (the
+    reference's MaxOutputPerRead / MaxHitsEachEndForPairing occurrence
+    clamp, CPUfunctions.cpp:1287-1299 + soap3-dp.ini defaults
+    1000/8000); None = complete enumeration. ``budget`` caps how many
+    reads are re-aligned per call — a repeat-dense genome can flag
+    >5% of a batch (satellite/microsatellite storms) and unbounded
+    host work would dominate the pipeline; reads beyond the budget
+    keep their device-truncated hit sets and stay flagged, and the
+    pair DP-rescue engines (anchored on the mate, the reference's own
+    route for over-cap reads) recover their placements. Env
+    SOAP3DP_HOST_REALIGN_FULL=1 restores the round-3 uncapped
+    behavior."""
     import os
     import sys
 
@@ -208,7 +247,14 @@ def realign_flagged(index: Index, h, codes: np.ndarray, lens: np.ndarray,
     flagged = np.asarray(h.flagged)
     if not flagged.any() or os.environ.get("SOAP3DP_NO_HOST_REALIGN"):
         return h
+    if os.environ.get("SOAP3DP_HOST_REALIGN_FULL"):
+        max_decode = None
+        budget = None
     sel = np.flatnonzero(flagged)
+    skipped = 0
+    if budget is not None and len(sel) > budget:
+        skipped = len(sel) - budget
+        sel = sel[:budget]
     row, tp, nm, va, _ = h.to_host()
     B = len(flagged)
     read_of = np.where(row >= B, row - B, row)
@@ -218,18 +264,22 @@ def realign_flagged(index: Index, h, codes: np.ndarray, lens: np.ndarray,
     new_rows: list[np.ndarray] = []
     new_tp: list[np.ndarray] = []
     new_nm: list[np.ndarray] = []
-    still = np.zeros(B, bool)
+    still = flagged.copy()
     for b in sel:
         strand, tps, nms, over = complete_search(
-            index, np.asarray(codes[b]), int(lens[b]), k, max_interval)
+            index, np.asarray(codes[b]), int(lens[b]), k, max_interval,
+            max_decode)
         still[b] = over
         new_rows.append(b + strand.astype(np.int64) * B)
         new_tp.append(tps)
         new_nm.append(nms)
     print(f"[soap3dp] host re-align: {len(sel)} super-repetitive read(s) "
-          f"completed on host"
-          + (f"; {int(still.sum())} exceeded the {max_interval}-occurrence "
-             "seed guard and stay truncated" if still.any() else ""),
+          f"re-aligned on host"
+          + (f" (occ cap {max_decode}/strand)" if max_decode else "")
+          + (f"; {int(still[sel].sum())} truncated at the cap"
+             if still[sel].any() else "")
+          + (f"; {skipped} beyond the {budget}-read batch budget kept "
+             "their device hit sets" if skipped else ""),
           file=sys.stderr)
     return HitArrays(
         row=np.concatenate([row[keep]] + new_rows).astype(np.int32),

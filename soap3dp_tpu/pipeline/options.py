@@ -38,6 +38,10 @@ class AlignOptions:
     max_output_per_read: int = 1000
     max_output_per_pair: int = 1000
     max_hits_each_end_for_pairing: int = 8000
+    # max still-flagged reads host-re-aligned per batch; beyond it,
+    # reads keep device-truncated hit sets (DP rescue recovers them) —
+    # bounds host work on satellite/microsatellite-dense genomes
+    host_realign_budget: int = 256
     soap3_mismatch_allow: int = 2
     min_mapq: int = 1
     max_mapq: int = 40

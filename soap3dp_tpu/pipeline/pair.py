@@ -229,15 +229,20 @@ def align_pair_batch(
             h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg,
                                        pending=pending_search)
         if (np.asarray(h1.flagged).any() or np.asarray(h2.flagged).any()):
-            # super-repetitive reads: complete host re-alignment (the
-            # reference's ProcessReadDoubleStrand2 analog) replaces the
-            # round-3 truncated sets
+            # super-repetitive reads: host re-alignment (the reference's
+            # ProcessReadDoubleStrand2 analog) replaces the round-3
+            # truncated sets, occ-capped + batch-budgeted like the
+            # reference's MaxHitsEachEndForPairing clamp
             from soap3dp_tpu.fm import host_search
             with timers.stage("A.host_realign"):
-                h1 = host_search.realign_flagged(index, h1, b1.codes,
-                                                 lens1, k)
-                h2 = host_search.realign_flagged(index, h2, b2.codes,
-                                                 lens2, k)
+                h1 = host_search.realign_flagged(
+                    index, h1, b1.codes, lens1, k,
+                    max_decode=opts.max_hits_each_end_for_pairing,
+                    budget=opts.host_realign_budget)
+                h2 = host_search.realign_flagged(
+                    index, h2, b2.codes, lens2, k,
+                    max_decode=opts.max_hits_each_end_for_pairing,
+                    budget=opts.host_realign_budget)
         with timers.stage("A.tables"):
             t1 = hits.hits_to_table(h1, B, index, lens1)
             t2 = hits.hits_to_table(h2, B, index, lens2)
@@ -385,10 +390,14 @@ def _phase2_finish(index, didx, it: _Phase2Item, opts, sc, writer,
     if (np.asarray(h1b.flagged).any() or np.asarray(h2b.flagged).any()):
         from soap3dp_tpu.fm import host_search
         with timers.stage("A.host_realign"):
-            h1b = host_search.realign_flagged(index, h1b, it.sb1.codes,
-                                              it.l1, it.k)
-            h2b = host_search.realign_flagged(index, h2b, it.sb2.codes,
-                                              it.l2, it.k)
+            h1b = host_search.realign_flagged(
+                index, h1b, it.sb1.codes, it.l1, it.k,
+                max_decode=opts.max_hits_each_end_for_pairing,
+                budget=opts.host_realign_budget)
+            h2b = host_search.realign_flagged(
+                index, h2b, it.sb2.codes, it.l2, it.k,
+                max_decode=opts.max_hits_each_end_for_pairing,
+                budget=opts.host_realign_budget)
     nt = it.nt
     with timers.stage("A2.tables"):
         # count only reads newly still-flagged in phase 2 (phase-1

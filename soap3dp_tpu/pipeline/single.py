@@ -136,15 +136,20 @@ def _dispatch_phase2_single(didx, batch, todo, table, lens, k
 
 
 def _phase2_fetch_merge(index, it: _SinglePhase2Item,
-                        summary: "BatchSummary | None" = None) -> hits.HitTable:
+                        summary: "BatchSummary | None" = None,
+                        opts: "AlignOptions | None" = None) -> hits.HitTable:
     """Fetch a dispatched SE phase-2 search and merge with the phase-1
     hits of the escalated reads (renumbered 0..nt-1)."""
     with timers.stage("A2.single"):
         raw = it.pend2.result()
     if np.asarray(raw.flagged).any():
         from soap3dp_tpu.fm import host_search
-        raw = host_search.realign_flagged(index, raw, it.sb.codes,
-                                          it.lens, it.k)
+        from soap3dp_tpu.pipeline.options import AlignOptions
+        o = opts if opts is not None else AlignOptions()
+        raw = host_search.realign_flagged(
+            index, raw, it.sb.codes, it.lens, it.k,
+            max_decode=o.max_output_per_read,
+            budget=o.host_realign_budget)
     if summary is not None:
         # only reads newly still-flagged in phase 2 (phase-1 stills
         # were counted when their batch was aligned)
@@ -159,7 +164,7 @@ def _phase2_single_finish(index, didx, it, opts, writer, salvage_queue,
                           summary) -> None:
     """Fetch a deferred SE phase-2 search, merge with the phase-1 hits
     and run the full emission tail on the escalated subset."""
-    merged = _phase2_fetch_merge(index, it, summary)
+    merged = _phase2_fetch_merge(index, it, summary, opts)
     _finish_single(index, didx, it.sb.take(slice(None, it.nt)), merged,
                    opts, writer, salvage_queue, summary)
 
@@ -192,11 +197,14 @@ def align_single_batch(
         raw = pending_search.result() if pending_search is not None \
             else search_reads(didx, batch.codes, lens, SearchConfig(k=k))
         if np.asarray(raw.flagged).any():
-            # complete host re-alignment of super-repetitive reads
-            # (ProcessReadDoubleStrand2 analog; see fm/host_search.py)
+            # host re-alignment of super-repetitive reads, occ-capped +
+            # batch-budgeted (ProcessReadDoubleStrand2 analog with the
+            # reference's MaxOutputPerRead clamp; see fm/host_search.py)
             from soap3dp_tpu.fm import host_search
-            raw = host_search.realign_flagged(index, raw, batch.codes,
-                                              lens, k)
+            raw = host_search.realign_flagged(
+                index, raw, batch.codes, lens, k,
+                max_decode=opts.max_output_per_read,
+                budget=opts.host_realign_budget)
         table = hits.hits_to_table(raw, B, index, lens)
         phased = (pending_search is not None
                   and getattr(pending_search, "seed_hi", k + 1) < k + 1)

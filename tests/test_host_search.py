@@ -154,10 +154,51 @@ def test_single_pipeline_x0_reflects_complete_set(repeat_genome, rng):
         def write(self, rec):
             recs.append(rec)
 
-    s = align_single_batch(index, didx, batch, AlignOptions(), Cap())
+    # raise the reference-parity occurrence clamp (MaxOutputPerRead)
+    # past the repeat's copy count so enumeration is complete
+    opts = AlignOptions(max_output_per_read=1_000_000)
+    s = align_single_batch(index, didx, batch, opts, Cap())
     assert s.still_flagged == 0
     assert s.aligned_bwt == 1
     expect0 = sum(1 for (st, p), m in
                   brute_hits(genome.codes, read, 2).items() if m == 0)
     x0 = [t for t in recs[0].tags if t.startswith("X0:i:")]
     assert x0 and int(x0[0][5:]) == expect0
+
+
+def test_occ_cap_truncates_and_keeps_flag(repeat_genome):
+    """With the reference-parity occurrence clamp
+    (CPUfunctions.cpp:1287-1299) a super-repetitive read's decode is
+    truncated, stays flagged, and returns at most the cap per strand."""
+    genome, unit = repeat_genome
+    index = build_index(genome, sa_rate=4, lut_k=6)
+    read = np.tile(unit, 2)[:100]
+    strand, tp, nm, over = host_search.complete_search(
+        index, read, 100, 2, max_decode=500)
+    assert over
+    for s in (0, 1):
+        assert (strand == s).sum() <= 3 * 500  # k+1 segs, 500/strand cap
+
+
+def test_realign_budget_bounds_host_work(repeat_genome, rng):
+    """realign_flagged re-aligns at most `budget` reads; the rest keep
+    their device hit sets and stay flagged (DP rescue handles them)."""
+    from soap3dp_tpu.fm.search import HitArrays
+
+    genome, unit = repeat_genome
+    index = build_index(genome, sa_rate=4, lut_k=6)
+    B = 4
+    codes = np.stack([np.tile(unit, 2)[:100]] * B)
+    lens = np.full(B, 100, np.int32)
+    h = HitArrays(row=np.zeros(0, np.int32), tp=np.zeros(0, np.uint32),
+                  nmis=np.zeros(0, np.int32), valid=np.zeros(0, bool),
+                  flagged=np.ones(B, bool))
+    out = host_search.realign_flagged(index, h, codes, lens, k=2,
+                                      max_decode=200, budget=2)
+    fl = np.asarray(out.flagged)
+    # 2 re-aligned (stay flagged only via truncation) + 2 beyond budget
+    assert fl.sum() >= 2            # beyond-budget reads always flagged
+    realigned_rows = np.asarray(out.row)
+    assert len(realigned_rows) > 0  # the budgeted two contributed hits
+    got_reads = set((realigned_rows % B).tolist())
+    assert got_reads <= {0, 1}      # only the first `budget` reads
