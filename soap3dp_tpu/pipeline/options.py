@@ -38,9 +38,10 @@ class AlignOptions:
     max_output_per_read: int = 1000
     max_output_per_pair: int = 1000
     max_hits_each_end_for_pairing: int = 8000
-    # max still-flagged reads host-re-aligned per batch; beyond it,
-    # reads keep device-truncated hit sets (DP rescue recovers them) —
-    # bounds host work on satellite/microsatellite-dense genomes
+    # storm threshold: when more than this many reads of a batch are
+    # still-flagged, host re-alignment is skipped for the batch (they
+    # keep device-truncated hit sets; ProceedDPForTooManyHits routing
+    # applies) — bounds host work on satellite/microsat-dense genomes
     host_realign_budget: int = 256
     soap3_mismatch_allow: int = 2
     min_mapq: int = 1

@@ -479,7 +479,17 @@ def _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
             summary.paired_dp += len(n)
             summary.num_records += 2 * len(n)
         # ---- phase D: deep DP for both-unaligned ----
-        deep = np.flatnonzero(~done)
+        # reference default ProceedDPForTooManyHits=0 (soap3-dp.ini:107;
+        # CPUfunctions.cpp:2843 discards over-cap seeds): a pair whose
+        # BOTH ends stayed over the occurrence budget contributes no
+        # usable DP seeds and is emitted unmapped — on satellite/
+        # microsatellite-dense genomes thousands of such pairs per
+        # batch would otherwise flood the deep-DP engine with
+        # meaningless candidates
+        dp_able = ~done
+        if not opts.dp_for_too_many_hits:
+            dp_able &= ~(t1.flagged & t2.flagged)
+        deep = np.flatnonzero(dp_able)
         if deep.size:
             with timers.stage("D.deep_dp"):
                 n = _deep_dp_rescue(index, didx, b1, b2, deep, lens1, lens2,
@@ -488,7 +498,9 @@ def _run_rescue_phases(index, didx, b1, b2, t1, t2, st1, st2, todo,
             summary.paired_dp += len(n)
             summary.num_records += 2 * len(n)
         # ---- phase E: single-end salvage, unpaired output ----
-        leftover = np.flatnonzero(~done)
+        # same ProceedDPForTooManyHits gate: both-ends-over-cap pairs
+        # skip per-end DP salvage and fall to the unmapped emitter
+        leftover = np.flatnonzero(dp_able & ~done)
         if leftover.size:
             with timers.stage("E.salvage"):
                 n_records = _single_salvage_pairs(index, didx, b1, b2, leftover,
@@ -1327,26 +1339,41 @@ def _deep_dp_round(index, didx, b1, b2, deep, lens1, lens2, opts, sc,
                               strand=call.strand[in2], pos=call.pos[in2])
     if c1.read.size == 0 or c2.read.size == 0:
         return np.zeros(0, int)
-    # pair candidate loci: for each read, loci of end1 x end2 with
-    # plausible insert (positions are read-start estimates; allow the
-    # DP margin both ways, DP2_MARGIN DV-DPfunctions.cu:2549).
-    # Vectorized cross-join per read (candidates are sorted by read).
+    # pair candidate loci: for each end-1 locus, end-2 loci within the
+    # insert window (positions are read-start estimates; allow the DP
+    # margin both ways, DP2_MARGIN DV-DPfunctions.cu:2549). A sorted
+    # window join — the vectorized analog of the reference's linear
+    # pairEndMerge sweep (DV-DPfunctions.cu:2780-2879) — NOT a cross
+    # join: repeat-heavy batches reach thousands of candidates per end
+    # and n1*n2 materialization is quadratic (measured 810s host CPU on
+    # one satellite-storm batch before this).
     u, v = opts.max_insert, opts.min_insert
     B_sub = len(deep)
-    g1 = np.searchsorted(c1.read, np.arange(B_sub + 1)).astype(np.int64)
-    g2 = np.searchsorted(c2.read, np.arange(B_sub + 1)).astype(np.int64)
-    n1 = np.diff(g1)
-    n2 = np.diff(g2)
-    combos = n1 * n2
-    total = int(combos.sum())
+    # c2 sorted by (read, pos) -> one u64 key; genome < 2^40
+    o2 = np.lexsort((c2.pos, c2.read))
+    p2s = c2.pos[o2].astype(np.uint64)
+    key2 = (c2.read[o2].astype(np.uint64) << np.uint64(40)) | p2s
+    mg1 = dp_rescue.dp_margin(np.maximum(sl1, sl2)).astype(np.int64)
+    w = (u + mg1[c1.read]).astype(np.int64)
+    base1 = c1.read.astype(np.uint64) << np.uint64(40)
+    lo = np.searchsorted(
+        key2, base1 | np.maximum(c1.pos - w, 0).astype(np.uint64))
+    hi = np.searchsorted(key2, base1 | (c1.pos + w + 1).astype(np.uint64))
+    fan = hi - lo
+    # centered fan-out cap per end-1 locus (same policy as pair_hits)
+    FAN_CAP = 16
+    take = np.minimum(fan, FAN_CAP)
+    total = int(take.sum())
     if total == 0:
         return np.zeros(0, int)
-    off = np.zeros(B_sub + 1, np.int64)
-    np.cumsum(combos, out=off[1:])
-    pid = np.repeat(np.arange(B_sub, dtype=np.int64), combos)
-    cix = np.arange(total, dtype=np.int64) - off[pid]
-    i1 = g1[pid] + cix // n2[pid]
-    i2 = g2[pid] + cix % n2[pid]
+    toff = np.zeros(len(take) + 1, np.int64)
+    np.cumsum(take, out=toff[1:])
+    row1 = np.repeat(np.arange(len(take), dtype=np.int64), take)
+    cix = np.arange(total, dtype=np.int64) - toff[row1]
+    j2 = lo[row1] + np.maximum(fan[row1] - FAN_CAP, 0) // 2 + cix
+    i1 = row1
+    i2 = o2[j2]
+    pid = c1.read[i1].astype(np.int64)
     p1 = c1.pos[i1]
     p2 = c2.pos[i2]
     s1c = c1.strand[i1]

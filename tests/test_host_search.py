@@ -180,9 +180,11 @@ def test_occ_cap_truncates_and_keeps_flag(repeat_genome):
         assert (strand == s).sum() <= 3 * 500  # k+1 segs, 500/strand cap
 
 
-def test_realign_budget_bounds_host_work(repeat_genome, rng):
-    """realign_flagged re-aligns at most `budget` reads; the rest keep
-    their device hit sets and stay flagged (DP rescue handles them)."""
+def test_realign_storm_threshold_skips_batch(repeat_genome, rng):
+    """When more flagged reads than `budget` arrive (a satellite
+    storm), realign_flagged skips the batch whole: reads keep their
+    device hit sets and stay flagged; under the threshold every read
+    is re-aligned."""
     from soap3dp_tpu.fm.search import HitArrays
 
     genome, unit = repeat_genome
@@ -190,15 +192,22 @@ def test_realign_budget_bounds_host_work(repeat_genome, rng):
     B = 4
     codes = np.stack([np.tile(unit, 2)[:100]] * B)
     lens = np.full(B, 100, np.int32)
-    h = HitArrays(row=np.zeros(0, np.int32), tp=np.zeros(0, np.uint32),
-                  nmis=np.zeros(0, np.int32), valid=np.zeros(0, bool),
-                  flagged=np.ones(B, bool))
-    out = host_search.realign_flagged(index, h, codes, lens, k=2,
+
+    def fresh():
+        return HitArrays(row=np.zeros(0, np.int32),
+                         tp=np.zeros(0, np.uint32),
+                         nmis=np.zeros(0, np.int32),
+                         valid=np.zeros(0, bool),
+                         flagged=np.ones(B, bool))
+
+    # storm: 4 flagged > budget 2 -> untouched (same object semantics)
+    out = host_search.realign_flagged(index, fresh(), codes, lens, k=2,
                                       max_decode=200, budget=2)
-    fl = np.asarray(out.flagged)
-    # 2 re-aligned (stay flagged only via truncation) + 2 beyond budget
-    assert fl.sum() >= 2            # beyond-budget reads always flagged
-    realigned_rows = np.asarray(out.row)
-    assert len(realigned_rows) > 0  # the budgeted two contributed hits
-    got_reads = set((realigned_rows % B).tolist())
-    assert got_reads <= {0, 1}      # only the first `budget` reads
+    assert np.asarray(out.flagged).all()
+    assert len(np.asarray(out.row)) == 0
+    # under threshold: all re-aligned, hits for every read
+    out = host_search.realign_flagged(index, fresh(), codes, lens, k=2,
+                                      max_decode=200, budget=8)
+    assert len(np.asarray(out.row)) > 0
+    got_reads = set((np.asarray(out.row) % B).tolist())
+    assert got_reads == {0, 1, 2, 3}

@@ -14,19 +14,28 @@ With zero egress (no GRCh38 download), this module composes a genome
 with the same repeat pathology from scratch:
 
   family           target    unit                 divergence
-  Alu-like SINE     ~10%     300 bp consensus     per-copy U(0.02,0.25)
-  LINE-like         ~12%     6 kbp consensus,     per-copy U(0.02,0.25)
+  Alu-like SINE     ~12%     300 bp consensus     per-copy U(0.02,0.25)
+  LINE-like         ~13%     6 kbp consensus,     per-copy U(0.02,0.25)
                              5'-truncated classes
-  alpha-satellite    ~3%     171 bp monomer,      2% per monomer +
+  alpha-satellite   ~0.6%    171 bp monomer,      2% per monomer +
                              tandem arrays at      higher-order 8-mer
                              the centromere        structure
   microsatellite     ~2%     1-6 bp motifs,       1% per base
-                             0.2-2 kbp runs
+                             20-300 bp runs (geometric, median ~50)
   segmental dup      ~4%     20-50 kbp copies     2% per copy
-  N runs            ~1.5%    telomeres 10 kbp, centromere gap 1-3 Mbp,
-                             scattered 20-100 kbp gaps
+  N runs             ~2%     telomeres 10 kbp, centromere gap
+                             2.5-4 Mbp, scattered 20-100 kbp gaps
 
 Total repetitive fraction ~31% (>=30% per VERDICT r3 next-item 2).
+The satellite and STR scales mirror hg19/GRCh38 — the genomes the
+reference's baseline actually aligns against — where the deep
+centromeric arrays are ASSEMBLY GAPS (the centromere N run here), not
+sequence, and STR runs rarely exceed a few hundred bp. A first cut of
+this generator used 3% fully-alignable satellite + 0.2-2 kbp STR runs;
+that flagged 6-8.5% of reads super-repetitive (seed intervals past
+10^6 occurrences) — a load GRCh38 alignment never produces — and made
+comparison against the reference's GRCh38-era baseline
+apples-to-oranges in the too-hard direction.
 Chromosome count/lengths follow the human ratios (24 scaled to the
 requested total). All randomness is a seeded PCG64 stream, so the
 genome is reproducible byte-for-byte.
@@ -99,7 +108,11 @@ def _paste_microsats(rng, chrom: np.ndarray, budget: int, lo: int,
     while pasted < budget:
         motif_len = int(rng.integers(1, 7))
         motif = _rand_codes(rng, motif_len)
-        run = int(rng.integers(200, 2001))
+        # real STR runs are short (median ~25 bp, tail to a few hundred;
+        # 200-2000 bp runs were unrealistic and made reads fully inside
+        # a run — no unique flank for any pigeonhole segment — ~2% of
+        # the mix, far past what GRCh38 alignment sees)
+        run = int(min(20 + rng.geometric(1 / 40.0), 300))
         start = int(rng.integers(lo, hi - run))
         tile = np.tile(motif, run // motif_len + 1)[:run]
         m = rng.random(run, dtype=np.float32) < 0.01
@@ -164,7 +177,9 @@ def _paste_segdups(rng, chrom: np.ndarray, budget: int) -> int:
 def _n_runs_for(rng, L: int, centro: int) -> list[tuple[int, int]]:
     """(start, length) N runs: telomeres, centromere gap, scattered."""
     runs = [(0, 10_000), (L - 10_000, 10_000)]
-    gap = int(rng.integers(1_000_000, 3_000_000)) if L > 20_000_000 \
+    # hg19-style centromere gap (~3 Mbp per chromosome): the deep
+    # satellite arrays live inside this N run, not in sequence
+    gap = int(rng.integers(2_500_000, 4_000_000)) if L > 20_000_000 \
         else max(100, L // 50)
     runs.append((max(0, centro - gap // 2), min(gap, L - 20_000)))
     for _ in range(int(rng.integers(2, 6))):
@@ -180,14 +195,20 @@ def _make_chromosome(rng: np.random.Generator, L: int, name: str,
     chrom = _rand_codes(rng, L)
     rep = 0
     centro = int(L * float(rng.uniform(0.35, 0.65)))
-    # interspersed SINEs (Alu-like): ~10%
-    rep += _paste_copies(rng, chrom, sine, int(L * 0.10) // len(sine), 0, L)
+    # interspersed SINEs (Alu-like): ~12% (real Alu ~11% of GRCh38)
+    rep += _paste_copies(rng, chrom, sine, int(L * 0.12) // len(sine), 0, L)
     log(f"{name}: SINEs done")
-    # LINE-like: mostly 5'-truncated copies; classes hit ~12% total
-    for frac, w in ((0.04, 500), (0.03, 1000), (0.03, 2500), (0.02, 6000)):
+    # LINE-like: mostly 5'-truncated copies; classes hit ~13% total
+    for frac, w in ((0.05, 500), (0.03, 1000), (0.03, 2500), (0.02, 6000)):
         rep += _paste_copies(rng, chrom, line[-w:], int(L * frac) // w, 0, L)
     log(f"{name}: LINEs done")
-    rep += _paste_satellite(rng, chrom, centro, int(L * 0.03))
+    # alignable satellite is SMALL: hg19/GRCh38 — the genomes the
+    # reference's baseline aligns against — represent the deep
+    # centromeric alpha-satellite arrays as assembly gaps (the
+    # centromere N run below), with only pericentromeric remnants in
+    # sequence. Fully-alignable multi-Mbp arrays would make 5%+ of
+    # reads super-repetitive, a load GRCh38 alignment never sees.
+    rep += _paste_satellite(rng, chrom, centro, int(L * 0.006))
     rep += _paste_microsats(rng, chrom, int(L * 0.02), 0, L)
     rep += _paste_segdups(rng, chrom, int(L * 0.04))
     log(f"{name}: satellites/microsats/segdups done")
@@ -259,7 +280,9 @@ def generate(total_bp: int, seed: int = 20240817, log=None):
 
 
 def tag_for(total_bp: int) -> str:
-    return f"hg{total_bp}"
+    # v2: GRCh38-realistic satellite/STR scales (see module docstring);
+    # the tag versions the cache so stale v1 artifacts never mix in
+    return f"hg{total_bp}v2"
 
 
 def generate_to(cache_dir: str, total_bp: int, seed: int = 20240817):
