@@ -123,9 +123,14 @@ def _fix_quals(opts, *batches):
         return
     for b in batches:
         if b.quals is not None:
-            nz = b.quals != 0
-            b.quals[nz] = np.maximum(b.quals[nz].astype(np.int16) - 31,
-                                     33).astype(b.quals.dtype)
+            # rebind rather than mutate: batch matrices are sealed
+            # read-only at ingest (they cross the writer-thread
+            # boundary uncopied)
+            q = np.where(b.quals != 0,
+                         np.maximum(b.quals.astype(np.int16) - 31, 33),
+                         0).astype(b.quals.dtype)
+            q.flags.writeable = False
+            b.quals = q
 
 
 def _slice_batch(b, sl: slice):

@@ -59,8 +59,12 @@ class AsyncWriter:
     and file IO no longer block the batch loop — the analog of the
     reference's per-batch output pthreads (alignment.cu:1005-1027).
 
-    Callers must not mutate arrays they pass in after the call (the
-    pipeline emitters build fresh arrays per block, so this holds).
+    Callers must not mutate arrays they pass in after the call. Most
+    emitters build fresh arrays per block; the PE/SE fast paths ALSO
+    pass the shared batch code/qual matrices down uncopied (the
+    two-source seq_codes form), so the invariant extends to those:
+    ReadBatch matrices are never mutated in place after construction
+    (fastq.py marks them read-only to enforce it).
     """
 
     # per-record writes are batched before crossing the thread boundary:

@@ -38,6 +38,16 @@ class ReadBatch:
     def __len__(self) -> int:
         return self.codes.shape[0]
 
+    def seal(self) -> "ReadBatch":
+        """Mark the code/qual matrices read-only. The PE/SE fast paths
+        hand these matrices to AsyncWriter uncopied (two-source
+        seq_codes), so in-place mutation after ingest would race the
+        writer thread; sealing turns that bug class into an error."""
+        for a in (self.codes, self.quals):
+            if a is not None and a.flags.owndata:
+                a.flags.writeable = False
+        return self
+
     def take(self, ids) -> "ReadBatch":
         """Row subset (fancy index or slice), names coerced to array."""
         return ReadBatch(names=np.asarray(self.names)[ids],
@@ -132,7 +142,7 @@ def _make_batch(names, seqs, quals, max_len, warn_state) -> ReadBatch:
     if quals is not None:
         qmat, _ = _pack_rect(quals, max_len, warn_state)
     return ReadBatch(names=np.array(names, dtype="S"), codes=codes,
-                     lens=lens, quals=qmat)
+                     lens=lens, quals=qmat).seal()
 
 
 def _batchify_precoded(records, batch_size: int, max_len: int
@@ -159,7 +169,7 @@ def _batchify_precoded(records, batch_size: int, max_len: int
                 L = min(len(q), max_len)
                 qm[i, :L] = np.frombuffer(q[:L], np.uint8)
         return ReadBatch(names=np.array(names, dtype="S"), codes=codes,
-                         lens=lens, quals=qm)
+                         lens=lens, quals=qm).seal()
 
     for name, codes, qual in records:
         names.append(name)
@@ -195,7 +205,8 @@ def _native_batches(path, batch_size, max_len) -> Iterator[ReadBatch]:
             if got is None:
                 return
             names, codes, lens, quals = got
-            yield ReadBatch(names=names, codes=codes, lens=lens, quals=quals)
+            yield ReadBatch(names=names, codes=codes, lens=lens,
+                            quals=quals).seal()
     finally:
         rd.close()
 

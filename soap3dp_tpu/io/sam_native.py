@@ -149,6 +149,10 @@ def format_block(names, flags, rname_buf, rname_off, chroms, poss, mapqs,
     tl = i64(tlens) if has_mate else flags
     has_seq = seq_codes is not None
     two_src = has_seq and isinstance(seq_codes, tuple)
+    if two_src and seq_src is None:
+        # without row-picking indices the second matrix would be read
+        # at rows >= n/2 out of bounds in the C path (ADVICE r4)
+        raise ValueError("tuple seq_codes requires seq_src")
     seq2 = np.zeros((0, 0), np.uint8)
     qual2 = np.zeros(0, np.uint8)
     L2 = 0

@@ -784,8 +784,11 @@ def _emit_bwt_pairs_batch(index, writer, b1, b2, t1, t2, st1, st2, combos,
                             axis=1).reshape(-1)
 
         # cigars=None -> gapless "<len>M" formatted by the writer
-        # (the SAM C path digits them from seq_lens; VERDICT r3 #4)
-        kw = {"seq_lens": inter(lens1, lens2)}
+        # (the SAM C path digits them from seq_lens; VERDICT r3 #4).
+        # l1/l2 are already the per-`paired` lengths — `inter` indexes
+        # with fi (positions in the paired subset), so full-batch
+        # lens1/lens2 must NOT go through it (ADVICE r4 high).
+        kw = {"seq_lens": inter(l1, l2)}
         if getattr(writer, "needs_seq", True):
             # two-source form: the full batch code/qual matrices go
             # down uncopied, seq_src picks rows (>=0 -> mate1, <0 ->

@@ -167,6 +167,43 @@ def test_pair_proper(small_index, small_device_index, small_genome, rng):
     assert r1["rnext"] == "="
 
 
+def test_pair_proper_variable_lengths(small_index, small_device_index,
+                                      small_genome, rng):
+    """PE fast path with ragged read lengths AND paired != arange.
+
+    Regression (ADVICE r4 high): the columnar fast path indexed the
+    full-batch lens arrays with positions in the `paired` subset, so
+    when an earlier pair fails, later pairs got the WRONG read's
+    length for CIGAR/SEQ/QUAL truncation."""
+    codes = small_genome.codes
+    insert = 200
+    lens = [36, 44, 52, 60]
+    seqs1, seqs2 = [], []
+    # pair 0: unmappable garbage so `paired` skips index 0
+    seqs1.append(np.asarray(rng.integers(0, 4, 36), np.uint8))
+    seqs2.append(np.asarray(rng.integers(0, 4, 36), np.uint8))
+    starts = []
+    for L in lens[1:]:
+        p = int(rng.integers(100, len(codes) - 500))
+        starts.append(p)
+        seqs1.append(codes[p:p + L].copy())
+        seqs2.append(dna.revcomp_codes(codes[p + insert - L:p + insert]))
+    b1 = make_batch(seqs1)
+    b2 = make_batch(seqs2)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             min_insert=100, max_insert=300)
+    assert summary.paired_bwt >= 3
+    for i, L in enumerate(lens[1:], start=1):
+        r1 = next(r for r in recs
+                  if r["qname"] == f"r{i}" and r["flag"] & 0x40)
+        r2 = next(r for r in recs
+                  if r["qname"] == f"r{i}" and r["flag"] & 0x80)
+        for r in (r1, r2):
+            assert cigar_read_span(r["cigar"]) == L, (i, L, r["cigar"])
+            assert len(r["seq"]) == L, (i, L, len(r["seq"]))
+        assert r1["pos"] == starts[i - 1] + 1
+
+
 def test_pair_half_aligned_rescue(small_index, small_device_index,
                                   small_genome, rng):
     codes = small_genome.codes
