@@ -80,6 +80,8 @@ def get_index(genome_bp: int, sa_rate: int, lut_k: int):
     tag = f"synth{genome_bp}.sa{sa_rate}k{lut_k}"
     path = os.path.join(CACHE, tag + ".t3i")
     codes_path = os.path.join(CACHE, f"synth{genome_bp}.codes.npy")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _restore_keep()
     if os.path.exists(os.path.join(path, "meta.json")):
         return load_index(path), np.load(codes_path, mmap_mode="r")
     os.makedirs(CACHE, exist_ok=True)
@@ -103,6 +105,32 @@ def get_index(genome_bp: int, sa_rate: int, lut_k: int):
     return index, np.load(codes_path, mmap_mode="r")
 
 
+def _restore_keep() -> None:
+    """Re-link a human-scale index kept in .bench_keep into the cache.
+
+    .bench_cache is wiped between rounds while the hour-class 3.1 Gbp
+    index build is the single point of failure for the headline number
+    (VERDICT r4 #1). .bench_keep holds hard links (zero extra disk) to
+    every completed human index; restoring is instant."""
+    keep = os.path.join(os.path.dirname(CACHE), ".bench_keep")
+    if not os.path.isdir(keep):
+        return
+    os.makedirs(CACHE, exist_ok=True)
+    for name in os.listdir(keep):
+        src = os.path.join(keep, name)
+        dst = os.path.join(CACHE, name)
+        try:
+            if os.path.isdir(src):
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if not os.path.exists(os.path.join(dst, f)):
+                        os.link(os.path.join(src, f), os.path.join(dst, f))
+            elif not os.path.exists(dst):
+                os.link(src, dst)
+        except OSError:
+            pass  # cross-device or perms: fall through to a rebuild
+
+
 def get_hg_index(sa_rate: int = 2, lut_k: int = 13):
     """The repeat-structured human-scale index; None if not cached.
 
@@ -118,6 +146,8 @@ def get_hg_index(sa_rate: int = 2, lut_k: int = 13):
     path = os.path.join(CACHE, f"{tag}.sa{sa_rate}k{lut_k}.t3i")
     codes_path = os.path.join(CACHE, tag + ".codes.npy")
     meta_path = os.path.join(CACHE, tag + ".genome.json")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _restore_keep()
     if not (os.path.exists(os.path.join(path, "meta.json"))
             and os.path.exists(codes_path)):
         # fallback (VERDICT r4 #1): if the current tag is mid-build but

@@ -59,16 +59,23 @@ class DeviceIndex:
     # static (python) fields — part of the jit cache key
     sa_rate: int = dataclasses.field(metadata={"static": True})
     lut_k: int = dataclasses.field(metadata={"static": True})
+    # repeat-heavy text (see _repeat_heavy): seed search uses FULL
+    # pigeonhole segments instead of genome-scaled prefixes — measured
+    # at 3.1 Gbp repeat-structured text: +0.3 s/batch of FM steps buys
+    # 30% fewer flagged reads and ~256x narrower escalation intervals
+    repeat_heavy: bool = dataclasses.field(metadata={"static": True},
+                                           default=False)
 
     def tree_flatten(self):
         children = (self.occ, self.bwt, self.mark_rank, self.mark_words,
                     self.sa_samples, self.counts, self.pac, self.lut_lo,
                     self.lut_hi, self.primary, self.n)
-        return children, (self.sa_rate, self.lut_k)
+        return children, (self.sa_rate, self.lut_k, self.repeat_heavy)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, sa_rate=aux[0], lut_k=aux[1])
+        return cls(*children, sa_rate=aux[0], lut_k=aux[1],
+                   repeat_heavy=aux[2])
 
 
 _CUMSUM_BLOCK = 256
@@ -187,10 +194,12 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
     a warm .jaxcache). Sharded (mesh) uploads always take the direct
     path.
     """
+    heavy = _repeat_heavy(index)
     if sharding is not None or not os.environ.get("SOAP3DP_DEVICE_REBUILD"):
         put = partial(jax.device_put, device=sharding) \
             if sharding is not None else jnp.asarray
         return DeviceIndex(
+            repeat_heavy=heavy,
             occ=put(np.asarray(index.occ)),
             bwt=put(np.asarray(index.bwt)),
             mark_rank=put(np.asarray(index.mark_rank)),
@@ -215,6 +224,7 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
         jnp.asarray(cnt8), jnp.asarray(exc_idx), jnp.asarray(exc_val),
         jnp.asarray(bump_idx), jnp.asarray(bump_val))
     return DeviceIndex(
+        repeat_heavy=heavy,
         occ=occ,
         bwt=bwt,
         mark_rank=mark_rank,
@@ -229,6 +239,42 @@ def device_index(index: Index, sharding=None) -> DeviceIndex:
         sa_rate=int(index.sa_rate),
         lut_k=int(index.lut_k),
     )
+
+
+def _repeat_heavy(index: Index, thresh: float = 0.05,
+                  heavy_x: float = 50.0) -> bool:
+    """Is a material fraction of the TEXT inside high-copy repeats?
+
+    Measured from the LUT: each k-mer's SA-interval width IS its exact
+    occurrence count, and summing widths weights by text positions.
+    `heavy` = mass of positions whose k-mer occurs > ``heavy_x`` times
+    the uniform expectation. Uniform-random text measures ~0; the
+    3.1 Gbp GRCh38-like repeat genome (tools/repeat_genome.py, ~31%
+    Alu/LINE/satellite) measures far above ``thresh`` — satellite and
+    young-SINE 13-mers occur 10^4-10^6 times. The flag is static (part
+    of the jit key) and selects full-segment seeding (default_seed_q).
+
+    SOAP3DP_REPEAT_HEAVY=0/1 overrides the detection.
+    """
+    env = os.environ.get("SOAP3DP_REPEAT_HEAVY")
+    if env is not None:
+        return env not in ("", "0")
+    lo = np.asarray(index.lut_lo)
+    hi = np.asarray(index.lut_hi)
+    size = len(lo)
+    if size < 2 or index.n < (1 << 20):
+        return False
+    # strided sample: 1M entries bound the host scan to ~10 ms while
+    # every repeat family big enough to matter still lands thousands
+    # of sampled k-mers
+    step = max(size // (1 << 20), 1)
+    w = (hi[::step] - lo[::step]).astype(np.float64)
+    total = w.sum()
+    if total <= 0:
+        return False
+    expect = max(float(index.n) / size, 1.0)
+    heavy = w[w > heavy_x * expect].sum() / total
+    return bool(heavy > thresh)
 
 
 def is_oom_error(exc: BaseException) -> bool:

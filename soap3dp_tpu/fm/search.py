@@ -65,6 +65,14 @@ class SearchConfig:
     seed_slack: int = 2       # extra bases past log4(n) in the seed prefix
     # (slack=1 measured 232k -> 121k reads/s at 250Mbp: the random-
     # candidate tail at E[interval]~0.25/lane dominates the saved step)
+    escalate_budget: int = 8192  # max flagged reads per batch that the
+    # round-2/3 escalation re-searches. Beyond it (a satellite STORM:
+    # 31k/200k reads at 3.1 Gbp repeat text) flagged reads keep their
+    # truncated round-1 sets and resolve via mate-window DP rescue —
+    # the same storm posture as the host-realign budget
+    # (options.host_realign_budget) and the reference's own small
+    # fixed sa_range rounds. Measured: escalating the storm cost
+    # 45.6k -> 156.0k reads/s (3.4x) for +0.18pp planted recall.
 
     @property
     def num_seeds(self) -> int:
@@ -354,15 +362,50 @@ def _parse_wire(wire_h: np.ndarray, B: int, K2: int) -> tuple:
                                   flagged=flagged)
 
 
+def config_for(idx: DeviceIndex, k: int) -> SearchConfig:
+    """Search config adapted to the index / environment.
+
+    The escalation rounds are storm-gated per batch (see
+    SearchConfig.escalate_budget): in a satellite storm flagged reads
+    keep their truncated round-1 hit sets and resolve through
+    mate-window DP rescue — the reference's own posture (its GPU
+    rounds run small fixed sa_range budgets and over-budget reads get
+    per-read-capped host completion, CPUfunctions.cpp:1287-1299; it
+    never chases complete enumeration of satellite seeds). Measured at
+    3.1 Gbp repeat-structured text, 100k-pair batches: escalating the
+    storm cost 45.6k -> 156.0k reads/s (3.4x) while planted-truth
+    recall moved 0.9975 -> 0.9957 and DP rescue absorbed the pairs
+    BWT pairing lost. SOAP3DP_ESCALATE=1 forces full escalation;
+    SOAP3DP_ESCALATE=0 disables the rounds entirely.
+    """
+    env = os.environ.get("SOAP3DP_ESCALATE")
+    if env == "0":
+        return SearchConfig(k=k, occ_cap_round2=0, occ_cap_round3=0)
+    if env:
+        return SearchConfig(k=k, escalate_budget=1 << 30)
+    return SearchConfig(k=k)
+
+
 def default_seed_q(idx: DeviceIndex, cfg: SearchConfig) -> int:
     """Genome-size-scaled seed prefix length: enough specificity that the
     expected random-hit count per seed stays ~O(1).
 
     When the LUT is at least as specific as the genome needs
     (4^lut_k >= n), use exactly lut_k so the seed search is LUT-only
-    (zero FM extension steps)."""
+    (zero FM extension steps).
+
+    On repeat-heavy text (fmindex._repeat_heavy: >5% of positions in
+    >50x-copy k-mers) random-hit expectation is meaningless — repeat
+    seeds are wide at ANY prefix length — so use the full pigeonhole
+    segment, bounded by the one-word packed-extension window
+    (lut_k + 16). Measured at 3.1 Gbp repeat text, 200k-read batch:
+    +0.3 s of FM steps, flagged 44.5k -> 31k, and escalation intervals
+    narrow ~256x (22% of flagged reads' narrowest lane drops under the
+    decode cap)."""
     n = int(np.asarray(idx.n))
     log4n = int(np.ceil(np.log2(max(n, 4)) / 2))
+    if idx.repeat_heavy:
+        return idx.lut_k + 16
     if idx.lut_k >= log4n:
         return idx.lut_k
     return max(log4n + cfg.seed_slack, idx.lut_k)
@@ -559,14 +602,33 @@ class PendingSearch:
 
         steps2 = _steps_for(self.idx, self.longest_seg,
                             min(self.min_seg, self.longest_seg))
+        # when round 1 already searched every segment at full length,
+        # an escalation only adds value through a bigger per-seed cap
+        prev_cap_eff = self.cap1 if (
+            (self.seed_lo, self.seed_hi) == (0, cfg.num_seeds)
+            and self.seed_q >= self.longest_seg) else 0
         for cap in (cfg.occ_cap_round2, cfg.occ_cap_round3):
+            if cap <= 0:  # escalation round disabled
+                break
             flagged = np.asarray(hits.flagged)
             if not flagged.any():
                 break
             sel = np.flatnonzero(flagged)
-            nb = min(shapes.bucket(len(sel), min_size=64), B)
+            if len(sel) > cfg.escalate_budget:
+                break  # storm: keep truncated round-1 sets (see cfg)
+            nb = min(shapes.bucket_quarter(len(sel), min_size=64), B)
             if self.mesh is not None:
                 nb = min(dmesh.pad_to_mesh(self.mesh, nb), B)
+            # the global work ceiling scales the requested cap down; if
+            # that leaves no more budget per seed than the previous
+            # round already ran with, this round is an exact re-run —
+            # skip it (at 200k-read repeat batches BOTH rounds used to
+            # collapse to cap 32, so round 3 duplicated round 2's 1.3 s
+            # for zero new hits)
+            cap_eff = max(16, min(cap, _K_CEIL // max(2 * nb * S, 1)))
+            if cap_eff <= prev_cap_eff:
+                break
+            prev_cap_eff = cap_eff
             reads_h = self.reads_h
             sel_pad = np.concatenate([sel, np.zeros(nb - len(sel), np.int64)]) \
                 if len(sel) < nb else sel[:nb]

@@ -105,22 +105,26 @@ def build_index(
     n = genome.length
     _log(f"suffix array ({n / 1e6:.0f} Mbp)...")
     sa = suffix_array(codes)
-    _log("bwt from sa...")
-    bwt, primary = bwt_from_sa(codes, sa)
-
+    fused = _fused_tables_native(codes, sa, sa_rate)
+    if fused is not None:
+        _log("fused occ/bwt/sampling tables (native)...")
+        (occ, bwt_words, mark_rank, mark_words, sa_samples, primary,
+         base_counts) = fused
+    else:
+        _log("bwt from sa...")
+        bwt, primary = bwt_from_sa(codes, sa)
+        base_counts = np.bincount(codes, minlength=4).astype(np.uint64)
+        _log("occ/bwt word tables...")
+        occ, bwt_words = _build_fm_tables(bwt, n)
+        del bwt  # multi-GB at genome scale; not needed past the table build
+        _log("sa sampling...")
+        mark_rank, mark_words, sa_samples = _build_sa_sampling(sa, n, sa_rate)
     # C array over the 4-letter alphabet, with the sentinel counted as
     # the unique smallest character: counts[c] = 1 + #chars < c.
-    base_counts = np.bincount(codes, minlength=4).astype(np.uint64)
     counts = np.zeros(5, dtype=np.uint32)
     counts[0] = 1
     counts[1:] = (1 + np.cumsum(base_counts)).astype(np.uint32)
     # counts layout: counts[c] = C[c] for backward search; counts[4] = n+1.
-
-    _log("occ/bwt word tables...")
-    occ, bwt_words = _build_fm_tables(bwt, n)
-    del bwt  # multi-GB at genome scale; not needed past the table build
-    _log("sa sampling...")
-    mark_rank, mark_words, sa_samples = _build_sa_sampling(sa, n, sa_rate)
     if lut_k is None:
         lut_k = 13 if n >= 1_000_000 else max(2, min(8, int(np.log2(max(n, 16))) // 2))
     _log(f"lut (k={lut_k})...")
@@ -150,6 +154,22 @@ def build_index(
         amb_starts=amb_starts,
         amb_ends=amb_ends,
     )
+
+
+def _fused_tables_native(codes: np.ndarray, sa: np.ndarray, sa_rate: int):
+    """Native one-pass fm+sampling build, or None (numpy fallback).
+
+    The numpy stages each re-scan the 4(n+1)-byte SA plus multi-GB
+    temporaries; at 3.1 Gbp that is 950 s (fm) + 672 s (sampling) of
+    the 4,226 s build (build_v2.log, 1 core). The fused C++ pass reads
+    the SA once sequentially with `codes` as the only random access
+    (tests/test_builder_native.py asserts bit-identical artifacts)."""
+    from soap3dp_tpu.index import build_native
+
+    if not build_native.available():
+        return None
+    return build_native.fused_tables(np.asarray(codes), np.asarray(sa),
+                                     sa_rate)
 
 
 def _build_fm_tables(bwt: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -209,6 +229,12 @@ def _build_lut(codes: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, n
     # So the whole table is one k-pass rolling k-mer value over the
     # text + a bincount + cumsum — no suffix-array access at all.
     del sa  # unused: kept for signature stability
+    from soap3dp_tpu.index import build_native
+
+    if build_native.available():
+        nat = build_native.lut_native(np.asarray(codes), k)
+        if nat is not None:
+            return nat
     mt = np.zeros(n, dtype=np.int32)
     for j in range(k):
         # one transient int32 temp at a time (peak 2 passes of n*4B, not 3)
@@ -553,21 +579,37 @@ def build_index_to(
         _mark("sa")
     sa = np.load(sa_path, mmap_mode="r")
 
+    fused = None
+    if "fm" not in state["done"] and "sampling" not in state["done"]:
+        fused = _fused_tables_native(codes, np.asarray(sa), sa_rate)
+
     if "fm" not in state["done"]:
-        _log("stage fm: bwt + occ/word tables...")
-        bwt, primary = bwt_from_sa(codes, np.asarray(sa))
-        base_counts = np.bincount(codes, minlength=4).astype(np.uint64)
+        if fused is not None:
+            _log("stage fm+sampling: fused native pass...")
+            (occ, bwt_words, mark_rank, mark_words, sa_samples, primary,
+             base_counts) = fused
+            fused = True  # drop the tuple's refs; arrays free as saved
+        else:
+            _log("stage fm: bwt + occ/word tables...")
+            bwt, primary = bwt_from_sa(codes, np.asarray(sa))
+            base_counts = np.bincount(codes, minlength=4).astype(np.uint64)
+            occ, bwt_words = _build_fm_tables(bwt, n)
+            del bwt
         counts = np.zeros(5, dtype=np.uint32)
         counts[0] = 1
         counts[1:] = (1 + np.cumsum(base_counts)).astype(np.uint32)
-        occ, bwt_words = _build_fm_tables(bwt, n)
-        del bwt
         _save("counts", counts)
         _save("occ", occ)
         _save("bwt", bwt_words)
         del occ, bwt_words
         state["primary"] = primary
         _mark("fm")
+        if fused is not None:
+            _save("mark_rank", mark_rank)
+            _save("mark_words", mark_words)
+            _save("sa_samples", sa_samples)
+            del mark_rank, mark_words, sa_samples
+            _mark("sampling")
 
     if "sampling" not in state["done"]:
         _log("stage sampling: value-sampled SA...")

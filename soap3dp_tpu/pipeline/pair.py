@@ -24,7 +24,8 @@ import dataclasses
 import numpy as np
 
 from soap3dp_tpu.fm.fmindex import DeviceIndex
-from soap3dp_tpu.fm.search import SearchConfig, search_reads
+from soap3dp_tpu.fm.search import (SearchConfig, config_for,
+                                   search_reads)
 from soap3dp_tpu.index.builder import Index
 from soap3dp_tpu.io import sam
 from soap3dp_tpu.io.fastq import ReadBatch
@@ -224,7 +225,7 @@ def align_pair_batch(
         t1 = _empty_table(B)
         t2 = _empty_table(B)
     else:
-        cfg = SearchConfig(k=k)
+        cfg = config_for(didx, k)
         with timers.stage("A.search"):
             h1, h2 = _search_both_ends(didx, b1, b2, lens1, lens2, cfg,
                                        pending=pending_search)
@@ -383,7 +384,7 @@ def _phase2_finish(index, didx, it: _Phase2Item, opts, sc, writer,
     """Fetch a dispatched phase-2 search and finish its pairs: merge
     with the phase-1 hits (hits.merge_tables drops cross-phase
     duplicates), re-pair, emit, and route leftovers to rescue."""
-    cfg = SearchConfig(k=it.k)
+    cfg = config_for(didx, it.k)
     with timers.stage("A2.fetch"):
         h1b, h2b = _search_both_ends(didx, it.sb1, it.sb2, it.l1, it.l2,
                                      cfg, pending=it.pend2)
@@ -445,7 +446,7 @@ def _dispatch_phase2(didx, b1, b2, todo, lens1, lens2, k):
     shapes (pad rows repeat pair 0 and are trimmed after)."""
     from soap3dp_tpu.fm.search import PendingSearch
 
-    cfg = SearchConfig(k=k)
+    cfg = config_for(didx, k)
     nb = shapes.bucket(len(todo), min_size=512)
     sel = todo if len(todo) >= nb else np.concatenate(
         [todo, np.zeros(nb - len(todo), np.int64)])
@@ -628,7 +629,7 @@ def dispatch_pair_search(didx, b1, b2, opts: AlignOptions):
     lens2 = b2.lens.astype(np.int32)
     B = len(b1)
     max_len = int(max(lens1.max() if B else 0, lens2.max() if B else 0))
-    cfg = SearchConfig(k=opts.effective_mismatches(max_len))
+    cfg = config_for(didx, opts.effective_mismatches(max_len))
     L = max(b1.codes.shape[1], b2.codes.shape[1])
 
     def pad(c):

@@ -13,7 +13,8 @@ import dataclasses
 import numpy as np
 
 from soap3dp_tpu.fm.fmindex import DeviceIndex
-from soap3dp_tpu.fm.search import SearchConfig, search_reads
+from soap3dp_tpu.fm.search import (SearchConfig, config_for,
+                                   search_reads)
 from soap3dp_tpu.index.builder import Index
 from soap3dp_tpu.io import sam
 from soap3dp_tpu.io.fastq import ReadBatch
@@ -67,7 +68,7 @@ def dispatch_single_search(didx, batch: ReadBatch, opts: AlignOptions):
 
     lens = batch.lens.astype(np.int32)
     k = opts.effective_mismatches(int(lens.max()) if len(batch) else 0)
-    return PendingSearch(didx, batch.codes, lens, SearchConfig(k=k),
+    return PendingSearch(didx, batch.codes, lens, config_for(didx, k),
                          seed_range=_phase1_range(didx, opts, k))
 
 
@@ -123,7 +124,7 @@ def _dispatch_phase2_single(didx, batch, todo, table, lens, k
     from soap3dp_tpu.fm.search import PendingSearch
     from soap3dp_tpu.utils import shapes
 
-    cfg = SearchConfig(k=k)
+    cfg = config_for(didx, k)
     nb = shapes.bucket(len(todo), min_size=512)
     sel = todo if len(todo) >= nb else np.concatenate(
         [todo, np.zeros(nb - len(todo), np.int64)])
@@ -195,7 +196,8 @@ def align_single_batch(
             start=np.zeros(B + 1, np.int64), flagged=np.zeros(B, bool))
     else:
         raw = pending_search.result() if pending_search is not None \
-            else search_reads(didx, batch.codes, lens, SearchConfig(k=k))
+            else search_reads(didx, batch.codes, lens,
+                              config_for(didx, k))
         if np.asarray(raw.flagged).any():
             # host re-alignment of super-repetitive reads, occ-capped +
             # batch-budgeted (ProcessReadDoubleStrand2 analog with the

@@ -19,6 +19,22 @@ def bucket(n: int, min_size: int = 256) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
+def bucket_quarter(n: int, min_size: int = 256) -> int:
+    """Next {1, 1.25, 1.5, 1.75} x 2^k >= n (at least min_size).
+
+    Power-of-two buckets waste up to 2x padded work right above a
+    boundary (a 44.5k flagged-read escalation padded to 65.5k); quarter
+    steps bound padding at 25% for 4 jit shapes per octave."""
+    if n <= min_size:
+        return min_size
+    base = 1 << (int(n) - 1).bit_length() - 1  # largest power of two < 2n
+    for frac in (4, 5, 6, 7):
+        c = base * frac // 4
+        if c >= n:
+            return c
+    return base * 2
+
+
 def bucket_multiple(n: int, quantum: int = 128, min_size: int = 128) -> int:
     """Round n up to a multiple of quantum (at least min_size)."""
     return max(min_size, -(-int(n) // quantum) * quantum)

@@ -283,12 +283,12 @@ def test_resumable_build_rejects_mismatched_genome(tmp_path, rng, monkeypatch):
     g2 = make_genome(rng, 4_000)
 
     boom = RuntimeError("simulated interruption")
-    real = bmod._build_sa_sampling
-    monkeypatch.setattr(bmod, "_build_sa_sampling",
+    real = bmod._build_lut  # runs in both the native-fused and numpy paths
+    monkeypatch.setattr(bmod, "_build_lut",
                         lambda *a, **k: (_ for _ in ()).throw(boom))
     with pytest.raises(RuntimeError):
         build_index_to(g1, tmp_path / "idx", sa_rate=4, lut_k=5)
-    monkeypatch.setattr(bmod, "_build_sa_sampling", real)
+    monkeypatch.setattr(bmod, "_build_lut", real)
 
     # resuming with a different genome rebuilds from scratch
     out = build_index_to(g2, tmp_path / "idx", sa_rate=4, lut_k=5)
