@@ -68,8 +68,11 @@ def test_repeat_genome_accuracy():
         BGS-IO.cpp:2415-2463) without saturating to zero signal,
       - the super-repetitive machinery actually fires (nonzero
         still_flagged -> host re-align exercised at realistic rates).
-    Measured baseline (8 Mbp, 2000 pairs): recall 0.826, mapq30 wrong
-    0.36%, still_flagged 8."""
+    Measured baseline (4 Mbp, 800 pairs, storm-gated escalation):
+    recall 0.818, unaligned 0.0, mapq30 wrong 0.0, still_flagged 3.
+    Full-scale artifact (3.1 Gbp cached index, 50k pairs, real TPU):
+    recall 0.994, unaligned 0.37%, mapq30 wrong 0.034%
+    (ACCURACY_hg3100.json, round 5)."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -87,7 +90,9 @@ def test_repeat_genome_accuracy():
     res = run_eval(genome.codes, index, didx, 800, 0.01, 0.001,
                    excluded=(st[keep], st[keep] + ln[keep]))
     assert res["unaligned"] <= 0.01, res
-    assert res["recall"] >= 0.70, res
+    # within ~5 points of the measured 0.818 (VERDICT r4 weak #7: the
+    # old >=0.70 gate would have passed a 12-point regression)
+    assert res["recall"] >= 0.77, res
     assert res["mapq30_wrong_rate"] <= 0.01, res
     # the repeat pathology must actually exercise the escalation path
     assert res["still_flagged"] > 0, res
