@@ -90,6 +90,15 @@ class SamWriter:
                  sample: str = "default", rg_option: str = ""):
         self._own = isinstance(out, (str, os.PathLike))
         self._fh = open(out, "wb") if self._own else out
+        # SAM text is the biggest output stream (~560B/record); on a
+        # 1-core host the kernel's dirty-page throttling otherwise
+        # stalls the writer thread at unpredictable points. Every
+        # _ADVISE_CHUNK bytes the already-written range is handed to
+        # writeback and dropped from the page cache (the reference
+        # leans on 3 output pthreads instead, alignment.cu:1005-1027).
+        self._advise_from = 0
+        self._written = 0
+        self._can_advise = self._own and hasattr(os, "posix_fadvise")
         self.index = index
         self.names = [n.encode() for n in index.names]
         # chrom-name table for the native columnar formatter
@@ -107,6 +116,22 @@ class SamWriter:
             header.append(b"@SQ\tSN:" + name + f"\tLN:{ln}".encode())
         header.append(f"@PG\tID:soap3dp-tpu\tPN:soap3dp-tpu\tVN:{__version__}".encode())
         self._fh.write(b"\n".join(header) + b"\n")
+
+    _ADVISE_CHUNK = 64 << 20
+
+    def _advance(self, nbytes: int) -> None:
+        if not self._can_advise:
+            return
+        self._written += nbytes
+        if self._written - self._advise_from >= self._ADVISE_CHUNK:
+            try:
+                self._fh.flush()
+                os.posix_fadvise(self._fh.fileno(), self._advise_from,
+                                 self._written - self._advise_from,
+                                 os.POSIX_FADV_DONTNEED)
+            except OSError:
+                self._can_advise = False
+            self._advise_from = self._written
 
     def write(self, rec: SamRecord) -> None:
         rname = self.names[rec.chrom] if rec.chrom >= 0 else b"*"
@@ -136,7 +161,9 @@ class SamWriter:
             qual,
         ]
         fields.extend(t.encode() for t in rec.tags)
-        self._fh.write(b"\t".join(fields) + b"\n")
+        rec_bytes = b"\t".join(fields) + b"\n"
+        self._fh.write(rec_bytes)
+        self._advance(len(rec_bytes))
 
     def write_block(self, names, flags, chroms, poss, mapqs, cigars, nms, *,
                     mate_chroms=None, mate_poss=None, tlens=None,
@@ -178,6 +205,7 @@ class SamWriter:
             if text is not None:
                 with timers.stage("io.sam.fwrite"):
                     self._fh.write(text)
+                    self._advance(len(text))
                 return
 
         # numpy fallback: materialize the hot-path forms first
@@ -254,7 +282,9 @@ class SamWriter:
         W = line.dtype.itemsize
         ln = np.char.str_len(line).astype(np.int64)
         keep = np.arange(W, dtype=np.int64)[None, :] < ln[:, None]
-        self._fh.write(line.view(np.uint8).reshape(N, W)[keep].tobytes())
+        data = line.view(np.uint8).reshape(N, W)[keep].tobytes()
+        self._fh.write(data)
+        self._advance(len(data))
 
     def close(self) -> None:
         if self._own:
