@@ -605,7 +605,7 @@ def _rle_runs(S: np.ndarray, rclip: np.ndarray, ins_tail: np.ndarray,
 
 def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
                             stats_ref, runs_ref, dirs_s, *, sc: DPScores,
-                            ND: int, Lw: int, MR: int):
+                            ND: int, Lw: int, MR: int, Q0: int = 0):
     """Forward DP + in-kernel traceback + run-length encoding.
 
     The direction bytes live only in the VMEM scratch ``dirs_s`` — they
@@ -727,20 +727,24 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
 
     ND4 = -(-ND // 4)
 
-    def fwd_quad(q, carry):
+    def fwd_quad(q, carry, off: int = 0):
         # 4 diagonals per iteration; the padded tail steps (d > ND when
         # ND % 4 != 0) are harmless: no cell with i <= rlen, j <= wlen
         # lies on them, so `elig` is all-False and their bytes land in
-        # word lanes the traceback never extracts
+        # word lanes the traceback never extracts.
+        # ``off`` (static): quad q stores at scratch slot q - off; quads
+        # below the offset overwrite slot 0, which the two-pass scheme
+        # rewrites with the real quad Q0 before any traceback reads it.
         word = jnp.zeros((PT, Lr1), jnp.int32)
         for u in range(4):
             carry, byte = fwd_step(4 * q + u, carry)
             word = word | (byte << (8 * u))
-        dirs_s[q, :, :] = word
+        dirs_s[jnp.maximum(q - off, 0), :, :] = word
         return carry
 
+    carry0 = (h0, hm1, d0, i0, chars0, best0)
     _, _, _, _, _, (bS, bJ, bI, bC) = jax.lax.fori_loop(
-        0, ND4, fwd_quad, (h0, hm1, d0, i0, chars0, best0))
+        0, ND4, partial(fwd_quad, off=Q0), carry0)
 
     # ---- traceback: reverse diagonal sweep over the VMEM dirs ----
     # loop-carried flags are int32 masks, not bools: Mosaic cannot
@@ -774,11 +778,11 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
            jnp.full((PT, 1), -1, jnp.int32) + zi, zi,           # cur_op, cur_cnt
            ridx0, of0, runs_ops0, runs_cnts0)
 
-    def tb_step(t, carry):
+    def tb_step(t, carry, off: int = 0):
         (i, j, state, done, startj, clipv, cur_op, cur_cnt,
          ridx, of, runs_ops, runs_cnts) = carry
         d = ND - t
-        w = dirs_s[(d - 1) // 4, :, :]                          # (PT, Lr1)
+        w = dirs_s[(d - 1) // 4 - off, :, :]                    # (PT, Lr1)
         dirs_d = (w >> (8 * ((d - 1) % 4))) & 0xFF
         act = (done == 0) & (i > 0) & (j > 0) & (i + j == d)
         oh = lane == i
@@ -824,8 +828,21 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
         return (i, j, nstate, done, startj, clipv, cur_op, cur_cnt,
                 ridx, of, runs_ops, runs_cnts)
 
+    # Two-pass scheme (Q0 > 0): the dirs scratch holds only quads
+    # [Q0, ND4) after the forward sweep, so the reverse sweep runs in
+    # two phases — diagonals (4*Q0, ND] off the stored second half,
+    # then a re-forward of quads [0, Q0) from the initial carry (the
+    # best-cell trackers are already final; the recompute only refills
+    # the scratch) before diagonals [1, 4*Q0]. Halving the resident
+    # dirs doubles the diagonal budget — 1024 bp reads stay on the
+    # fused path (reference MAX_READ_LENGTH=1024, definitions.h:38) at
+    # ~1.5x forward cost, paid only by problems too long for one pass.
+    tb1 = jax.lax.fori_loop(0, ND - 4 * Q0, partial(tb_step, off=Q0), tb0)
+    if Q0 > 0:
+        jax.lax.fori_loop(0, Q0, fwd_quad, carry0)
+        tb1 = jax.lax.fori_loop(ND - 4 * Q0, ND, tb_step, tb1)
     (i, j, _, done, startj, clipv, cur_op, cur_cnt, ridx, of,
-     runs_ops, runs_cnts) = jax.lax.fori_loop(0, ND, tb_step, tb0)
+     runs_ops, runs_cnts) = tb1
 
     # boundary exits (walk ran off the window/read edge)
     at_j0 = active & (done == 0) & (j == 0) & (i > 0)
@@ -867,10 +884,11 @@ def _dp_align_pallas_kernel(params_ref, reads_ref, wins_ref,
     runs_ref[:, :] = (runs_ops << 12) | jnp.minimum(runs_cnts, 4095)
 
 
-@partial(jax.jit, static_argnames=("sc", "pt", "mr", "interpret"))
+@partial(jax.jit, static_argnames=("sc", "pt", "mr", "q0", "interpret"))
 def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
                           anchor_l, anchor_r, cutoff, sc: DPScores,
-                          pt: int, mr: int, interpret: bool = False):
+                          pt: int, mr: int, q0: int = 0,
+                          interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -888,7 +906,7 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
          jnp.zeros_like(rlens)], axis=1).astype(jnp.int32)      # (P, 8)
     grid = (P // pt,)
     stats, runs = pl.pallas_call(
-        partial(_dp_align_pallas_kernel, sc=sc, ND=ND, Lw=Lw, MR=mr),
+        partial(_dp_align_pallas_kernel, sc=sc, ND=ND, Lw=Lw, MR=mr, Q0=q0),
         grid=grid,
         in_specs=[
             pl.BlockSpec((pt, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -904,7 +922,7 @@ def _dp_align_pallas_call(reads, rlens, wins, wlens, clip_l, clip_r,
             jax.ShapeDtypeStruct((P, 8), jnp.int32),
             jax.ShapeDtypeStruct((P, mr), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((-(-ND // 4), pt, Lr1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((-(-ND // 4) - q0, pt, Lr1), jnp.int32)],
         interpret=interpret,
     )(params, reads_pad, wins.astype(jnp.int32))
     return stats, runs
@@ -915,16 +933,24 @@ def _gather_runs_u16(runs: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(runs, idx, axis=0).astype(jnp.uint16)
 
 
-def _fused_tile(ND: int, lr1: int = 128) -> int | None:
-    """Problem-tile size whose dirs scratch fits the VMEM budget.
+def _fused_tile(ND: int, lr1: int = 128) -> tuple[int, int] | None:
+    """(problem tile, re-forward quads) whose dirs scratch fits VMEM.
 
-    The packed-int32 dirs scratch is (ceil(ND/4), pt, lr1) int32 — an
-    int32 tile needs only 8 sublanes, so pt goes down to 8 for long
-    reads (a uint8 scratch would pad every tile to 32 sublanes)."""
+    The packed-int32 dirs scratch is (ceil(ND/4) - q0, pt, lr1) int32 —
+    an int32 tile needs only 8 sublanes, so pt goes down to 8 for long
+    reads (a uint8 scratch would pad every tile to 32 sublanes). When
+    even the 8-problem tile cannot hold every quad-word, the two-pass
+    scheme stores only the last (nd4 - q0) quads and re-runs the first
+    q0 forward during traceback — feasible while q0 <= stored quads,
+    i.e. up to 2x the single-pass diagonal budget (1024 bp reads)."""
     nd4 = -(-ND // 4)
     for pt in (PALLAS_P_TILE, 32, 16, 8):
         if nd4 * max(pt, 8) * lr1 * 4 <= _VMEM_BUDGET:
-            return pt
+            return pt, 0
+    words = _VMEM_BUDGET // (8 * lr1 * 4)
+    q0 = nd4 - words
+    if q0 <= words:
+        return 8, q0
     return None
 
 
@@ -949,14 +975,15 @@ def dp_align(
     P, Lr = reads.shape
     Lw = wins.shape[1]
     ND = Lr + Lw
-    pt = _fused_tile(ND, -(-(Lr + 1) // 128) * 128)
+    tile = _fused_tile(ND, -(-(Lr + 1) // 128) * 128)
+    pt, q0 = tile if tile is not None else (None, 0)
     mr = max(MAX_RUNS, _max_runs_bound(Lr))
     n_sh = mesh.devices.size if mesh is not None else 1
     if (pt is not None and P % (pt * n_sh) == 0
             and Lw < 4096   # run counts must fit the 12-bit packing
             and jax.default_backend() == "tpu"
             and not os.environ.get("SOAP3DP_NO_PALLAS")):
-        call = partial(_dp_align_pallas_call, sc=sc, pt=pt, mr=mr)
+        call = partial(_dp_align_pallas_call, sc=sc, pt=pt, mr=mr, q0=q0)
         if mesh is not None:
             # every DP problem is independent: shard_map over the problem
             # axis runs the identical kernel on each chip's slice (XLA
@@ -1028,10 +1055,12 @@ def dp_align(
         _warned_long_read_fallback = True
         import sys
         print(f"[soap3dp] notice: read+window diagonals ({ND}) exceed the "
-              "fused DP kernel's VMEM budget even at an 8-problem tile; "
-              "DP rescue uses the slower scan path (fused path covers "
-              "reads to ~768 bp; the reference seeds long reads then DPs "
-              "them, alignment.cu:2475-2491)", file=sys.stderr)
+              "fused DP kernel's VMEM budget even at an 8-problem tile "
+              "with two-pass traceback; DP rescue uses the slower scan "
+              "path (fused path covers reads beyond the reference's "
+              "1024 bp MAX_READ_LENGTH, definitions.h:38; the reference "
+              "seeds long reads then DPs them, alignment.cu:2475-2491)",
+              file=sys.stderr)
     fwd = _dp_forward_scan if mesh is not None else dp_forward
     bS, bI, bJ, bC, dirs = fwd(
         reads, rlens, wins, wlens, clip_l, clip_r, anchor_l, anchor_r, sc=sc)

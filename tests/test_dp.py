@@ -245,8 +245,8 @@ def test_fused_align_long_reads_matches_scan():
         jnp.asarray(active))
 
     mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
-    pt = bd._fused_tile(Lr + Lw, 256)
-    assert pt is not None
+    pt, q0 = bd._fused_tile(Lr + Lw, 256)
+    assert q0 == 0
     stats, runs = bd._dp_align_pallas_call(
         *args, jnp.asarray(cutoff), SC, pt=pt, mr=mr, interpret=True)
     stats, runs = np.asarray(stats), np.asarray(runs)
@@ -297,8 +297,8 @@ def test_fused_align_512bp_matches_scan():
         jnp.asarray(active))
 
     mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
-    pt = bd._fused_tile(Lr + Lw, 640)
-    assert pt is not None and P % pt == 0, pt  # 512bp fits the fast path
+    pt, q0 = bd._fused_tile(Lr + Lw, 640)
+    assert P % pt == 0 and q0 == 0, (pt, q0)  # 512bp fits in one pass
     stats, runs = bd._dp_align_pallas_call(
         *args, jnp.asarray(cutoff), SC, pt=pt, mr=mr, interpret=True)
     stats, runs = np.asarray(stats), np.asarray(runs)
@@ -316,3 +316,59 @@ def test_fused_align_512bp_matches_scan():
         assert stats[p, 4] == r_startj[p], p
         checked += 1
     assert checked >= P - 2
+
+
+def test_fused_align_1024bp_two_pass_matches_scan():
+    """1024bp reads on the fused path via TWO-PASS traceback: the dirs
+    scratch holds only the last (nd4 - q0) quad-words; the kernel
+    re-runs the first q0 quads forward mid-traceback (VERDICT r4 item
+    8; reference MAX_READ_LENGTH=1024, definitions.h:38)."""
+    from soap3dp_tpu.kernels import banded_dp as bd
+
+    rng = np.random.default_rng(31)
+    P, Lr, Lw = 8, 1024, 1100
+    wins = rng.integers(0, 4, (P, Lw)).astype(np.uint8)
+    reads = np.zeros((P, Lr), np.uint8)
+    rlens = rng.integers(990, Lr + 1, P).astype(np.int32)
+    for p in range(P):
+        reads[p, :rlens[p]] = wins[p, 30:30 + rlens[p]]
+    reads[0, 200] = (reads[0, 200] + 1) % 4
+    reads[1, 100:900] = np.roll(reads[1, 100:900], 4)  # indel-ish
+    reads[2] = rng.integers(0, 4, Lr)                  # garbage, below cutoff
+    args = [jnp.asarray(x) for x in (
+        reads, rlens, wins, np.full(P, Lw, np.int32),
+        rng.integers(0, 40, P).astype(np.int32),
+        rng.integers(0, 40, P).astype(np.int32),
+        np.full(P, Lw + 1, np.int32), np.zeros(P, np.int32))]
+    cutoff = np.full(P, 297, np.int32)  # 0.3 * min read length
+
+    bS, bI, bJ, bC, dirs = bd._dp_forward_scan(*args, sc=SC)
+    sS = np.asarray(bS)
+    active = sS >= cutoff
+    r_ops, r_cnts, r_nrun, r_startj = bd.dp_traceback(
+        dirs, args[0], args[1], args[2], bI, bJ, args[4],
+        jnp.asarray(active))
+
+    mr = max(bd.MAX_RUNS, bd._max_runs_bound(Lr))
+    tile = bd._fused_tile(Lr + Lw, 1152)
+    assert tile is not None, "1024bp must stay on the fused path"
+    pt, q0 = tile
+    assert q0 > 0, "1024bp must exercise the two-pass scheme"
+    stats, runs = bd._dp_align_pallas_call(
+        *args, jnp.asarray(cutoff), SC, pt=pt, mr=mr, q0=q0,
+        interpret=True)
+    stats, runs = np.asarray(stats), np.asarray(runs)
+    assert np.array_equal(stats[:, 0], sS)
+    assert not stats[:, 6].any()
+    checked = 0
+    for p in range(P):
+        if not active[p]:
+            continue
+        want = [(int(r_ops[p, r]), int(r_cnts[p, r]))
+                for r in range(int(r_nrun[p])) if r_cnts[p, r] > 0]
+        got = [(int(runs[p, r]) >> 12, int(runs[p, r]) & 0xFFF)
+               for r in range(int(stats[p, 5])) if runs[p, r] & 0xFFF]
+        assert got == want, p
+        assert stats[p, 4] == r_startj[p], p
+        checked += 1
+    assert checked >= P - 1

@@ -933,6 +933,62 @@ def test_long_reads_500bp(small_index, small_device_index, small_genome):
         assert not (rr[0]["flag"] & 0x4) and not (rr[1]["flag"] & 0x4)
 
 
+def test_long_reads_1024bp(small_index, small_device_index, small_genome):
+    """1024bp reads end-to-end — the reference's MAX_READ_LENGTH
+    (definitions.h:38). On TPU these take the fused DP kernel's
+    TWO-PASS traceback (VERDICT r4 item 8: dirs scratch holds half the
+    quad-words, first half re-run forward mid-traceback); on the CPU
+    test backend the same shapes drive the scan path."""
+    codes = small_genome.codes
+    rng2 = np.random.default_rng(47)
+    L, insert = 1024, 2700
+    pos = rng2.integers(100, len(codes) - insert - 100, 3)
+    seqs = []
+    for i, p in enumerate(pos):
+        s = codes[p:p + L].copy()
+        s[444] = (s[444] + 1) % 4
+        if i == 1:  # 9bp deletion: DP rescue
+            s = np.concatenate([s[:500], codes[p + 509:p + 509 + L - 500]])
+        seqs.append(s)
+    batch = make_batch(seqs, max_len=L)
+    summary, recs = run_single(small_index, small_device_index, batch,
+                               max_read_len=L)
+    byname = {r["qname"]: r for r in recs}
+    for i, p in enumerate(pos):
+        r = byname[f"r{i}"]
+        assert not r["flag"] & 0x4, i
+        assert r["pos"] == p + 1, i
+        assert cigar_read_span(r["cigar"]) == L, i
+        if i == 1:
+            assert "D" in r["cigar"]
+
+    # paired: one mate needs half-aligned DP rescue (5bp insertion)
+    s1, s2 = [], []
+    for i, p in enumerate(pos):
+        left = codes[p:p + L].copy()
+        right = dna.revcomp_codes(codes[p + insert - L:p + insert])
+        if i == 0:
+            right = np.concatenate(
+                [right[:300], rng2.integers(0, 4, 5).astype(np.uint8),
+                 right[300:]])[:L]
+        s1.append(left)
+        s2.append(right)
+    b1 = make_batch(s1, max_len=L)
+    b2 = make_batch(s2, max_len=L)
+    summary, recs = run_pair(small_index, small_device_index, b1, b2,
+                             max_read_len=L, min_insert=2000,
+                             max_insert=3500)
+    assert summary.paired_bwt + summary.paired_dp == 3
+    byname = {}
+    for r in recs:
+        byname.setdefault(r["qname"], []).append(r)
+    for i, p in enumerate(pos):
+        rr = sorted(byname[f"r{i}"], key=lambda r: r["pos"])
+        assert len(rr) == 2
+        assert rr[0]["pos"] == p + 1, i
+        assert not (rr[0]["flag"] & 0x4) and not (rr[1]["flag"] & 0x4)
+
+
 def test_k4_end_to_end(small_index, small_device_index, small_genome):
     """k=4 through the FULL pipeline (VERDICT r3 item 6; the reference
     ships dedicated 4-mismatch kernels, DV-Kernel.cu:4505-4741 /
