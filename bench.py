@@ -16,21 +16,25 @@ human-scale profile uses a 3.1 Gbp REPEAT-STRUCTURED synthetic genome
 runs — the pathology the reference's occ caps and ambiguity handling
 exist for, HSP.c:849-896), not uniform-random text.
 
-Profiles, in the order run (human_scale is second so the headline
-number survives a tight driver budget):
+Profiles, in the order run (sam_out directly after main so their
+ratio — the SAM-output tax, VERDICT r4 item 5 — is measured
+back-to-back under the same relay conditions; human_scale next so the
+headline number survives a tight driver budget):
   main        40Mbp index, full SA + LUT-only seeding, succinct output
+  sam_out     40Mbp index with SAM text output (the default -b 2 path)
   human_scale 3.1Gbp repeat-structured genome, sa_rate=2, lut_k=13 —
               THE HEADLINE when its cached index exists (build with
               tools/build_bench_indexes.py; hour-class host job)
   chr1_scale  250Mbp index, sa_rate=2, lut_k=13 — real FM extension
               steps past the LUT + sampled-SA LF walks on the hot path
   se_scale    the reference's own headline shape: 1M x 100bp SE
-  sam_out     40Mbp index with SAM text output (the default -b 2 path)
   human_sam   3.1Gbp index with SAM text output (budget-gated, last)
 
 `value` (headline) = median of the warm-pass elapsed rates of the best
 available profile (human_scale > main), pass 0 dropped (residual
-compiles). BENCH_PASSES (default 2) counts total passes per profile.
+compiles). BENCH_PASSES (default 4 = three timed passes; the relay's
+~30% run-to-run variance makes a single timed pass mush, and a warm
+pass costs only 2-5s) counts total passes per profile.
 BENCH_BUDGET seconds (default 2400) skips remaining profiles when the
 clock runs low — each already-finished profile was already emitted.
 """
@@ -54,8 +58,9 @@ N_PAIRS = int(os.environ.get("BENCH_PAIRS", 400_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
 SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 200_000))
 # total passes per profile; pass 0 absorbs residual compiles and is
-# dropped from the stats, so 2 = one clean timed pass (VERDICT r3 #1)
-PASSES = max(2, int(os.environ.get("BENCH_PASSES", 2)))
+# dropped from the stats, so 4 = three clean timed passes whose median
+# resists the relay's ~30% variance (VERDICT r4 weak #5)
+PASSES = max(2, int(os.environ.get("BENCH_PASSES", 4)))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET", 2400))
 
 START = time.time()
@@ -498,7 +503,16 @@ def main() -> int:
             profiles["main"] = run_profile("main", index40, codes40, succ,
                                            N_PAIRS, BATCH)
             emit(profiles)
-        # human_scale runs SECOND (VERDICT r3 #1): it is the headline
+        if want("sam_out"):
+            if index40 is None:
+                index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
+            # directly after main — the sam_out/main ratio IS the
+            # SAM-serialization tax and must not absorb relay drift
+            # (VERDICT r4 item 5); same workload as main (N_PAIRS)
+            profiles["sam_out"] = run_profile("sam_out", index40, codes40,
+                                              samw, N_PAIRS, BATCH)
+            emit(profiles)
+        # human_scale runs next (VERDICT r3 #1): it is the headline
         # and must land inside the driver's budget
         if want("human_scale"):
             hg = get_hg_index()
@@ -529,16 +543,6 @@ def main() -> int:
                     2 * BATCH)
                 emit(profiles)
             del index250, codes250
-        if want("sam_out"):
-            if index40 is None:
-                index40, codes40 = get_index(40_000_000, sa_rate=1, lut_k=14)
-            # same workload as `main` (N_PAIRS, not SCALE_PAIRS): with
-            # only 2 batches the one-batch-deferred Phase2/rescue work
-            # cannot overlap, which under-reports the profile for
-            # reasons unrelated to SAM serialization
-            profiles["sam_out"] = run_profile("sam_out", index40, codes40,
-                                              samw, N_PAIRS, BATCH)
-            emit(profiles)
         # human-scale SAM text output (VERDICT r3 #4): last, so the
         # budget gate protects the headline profiles above
         if want("human_sam"):
