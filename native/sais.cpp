@@ -6,24 +6,38 @@
 // a whole-genome suffix array builds in minutes on one core.
 //
 // Exposed C ABI (loaded from Python via ctypes):
-//   int sais_u8(const uint8_t* t, int64_t n, int64_t* sa)
+//   int sais_u8_u32(const uint8_t* t, int64_t n, uint32_t* sa)
 // computes the suffix array of t[0..n) over alphabet {0..255} with the
 // usual virtual-sentinel convention (suffix end-of-string < any char),
-// writing n entries to sa. Returns 0 on success.
+// writing n entries to sa. Returns 0 on success. Valid for any
+// n < 2^32 - 1 — which covers every genome within the index format's
+// 4 Gbp limit, so the production path is ALWAYS the uint32 template:
+// positions fit u32, the SA buffer halves (24.8 -> 12.4 GB at
+// 3.1 Gbp, and no separate int64 buffer + convert copy on top), and
+// the streamed SA element traffic halves. Throughput itself is
+// latency-bound on the random T/ls reads, so the time win is modest
+// (~1.0x measured at 250 Mbp under contention) — the footprint is
+// the point.
+//   int sais_u8(const uint8_t* t, int64_t n, int64_t* sa)
+// same, int64 output (kept as the differential oracle for the u32
+// path and for hypothetical >4 Gbp texts).
 //
-// Memory plan (matters at 3.1 Gbp where the top level runs the int64
-// template): beyond the caller's n*8B SA buffer the top level keeps
+// The template is unsigned-safe: EMPTY = (I)-1 (0xFFFFFFFF for u32 —
+// distinguishable from every position since n < 2^32 - 1), descending
+// loops use the `i-- > 0` form, and no comparison relies on negative
+// values.
+//
+// Memory plan (matters at 3.1 Gbp): beyond the caller's n*4B SA buffer
+// the top level keeps
 //   ls        n bytes        (L/S types)
-//   lms       nlms * 8B      (exact-size allocation, nlms <= n/2)
-//   name      ceil(n/2)*8B   (LMS positions are >= 2 apart, so names
+//   lms       nlms * 4B      (exact-size allocation, nlms <= n/2)
+//   name      ceil(n/2)*4B   (LMS positions are >= 2 apart, so names
 //                             are stored at index j/2 — half an array;
 //                             freed before recursing)
-//   red/sa1   nlms * 4 or 8B (int32 when the reduced problem fits,
-//                             which it always does for n <= 4 Gbp since
-//                             nlms <= n/2 < 2^31)
-// so the 3.1 Gbp human build peaks well under 60 GB including the SA
-// buffer, instead of the >100 GB a naive full-size-name int64-all-the-
-// way-down implementation would need.
+//   red/sa1   nlms * 4B      (the reduced problem always fits 32 bits
+//                             for n <= 4 Gbp since nlms <= n/2 < 2^31)
+// so the 3.1 Gbp human build peaks around ~25 GB including the SA
+// buffer.
 
 #include <cstdint>
 #include <cstring>
@@ -38,10 +52,11 @@ struct Sais {
   static int run(const Char* T, I n, I K, I* SA) {
     if (n == 0) return 0;
     if (n == 1) { SA[0] = 0; return 0; }
+    const I EMPTY = (I)-1;  // never a position: n < EMPTY by contract
 
     std::vector<uint8_t> ls((size_t)n);  // 1 = S-type, 0 = L-type
     ls[n - 1] = 0;  // last real char is L-type (> virtual sentinel)
-    for (I i = n - 2; i >= 0; --i)
+    for (I i = n - 1; i-- > 0;)
       ls[(size_t)i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && ls[(size_t)i + 1])) ? 1 : 0;
 
     auto is_lms = [&](I i) { return i > 0 && ls[(size_t)i] && !ls[(size_t)i - 1]; };
@@ -58,7 +73,7 @@ struct Sais {
     };
 
     auto induce = [&](const I* lms, size_t nlms) {
-      for (I i = 0; i < n; ++i) SA[i] = (I)-1;
+      for (I i = 0; i < n; ++i) SA[i] = EMPTY;
       // place LMS suffixes at bucket tails, in the given order reversed
       reset_tails();
       for (size_t k = nlms; k-- > 0;) {
@@ -81,26 +96,28 @@ struct Sais {
       for (I i = 0; i < n; ++i) {
         if (i + PF < n) {
           I jp = SA[i + PF];
-          if (jp > 0) {
+          if (jp != EMPTY && jp != 0) {
             __builtin_prefetch(&T[jp - 1]);
             __builtin_prefetch(&ls[(size_t)jp - 1]);
           }
         }
         I j = SA[i];
-        if (j > 0 && !ls[(size_t)j - 1]) SA[head[(size_t)T[j - 1]]++] = j - 1;
+        if (j != EMPTY && j != 0 && !ls[(size_t)j - 1])
+          SA[head[(size_t)T[j - 1]]++] = j - 1;
       }
       // induce S-types right-to-left
       reset_tails();
-      for (I i = n - 1; i >= 0; --i) {
-        if (i - PF >= 0) {
+      for (I i = n; i-- > 0;) {
+        if (i >= PF) {
           I jp = SA[i - PF];
-          if (jp > 0) {
+          if (jp != EMPTY && jp != 0) {
             __builtin_prefetch(&T[jp - 1]);
             __builtin_prefetch(&ls[(size_t)jp - 1]);
           }
         }
         I j = SA[i];
-        if (j > 0 && ls[(size_t)j - 1]) SA[--tail[(size_t)T[j - 1]]] = j - 1;
+        if (j != EMPTY && j != 0 && ls[(size_t)j - 1])
+          SA[--tail[(size_t)T[j - 1]]] = j - 1;
       }
     };
 
@@ -126,22 +143,22 @@ struct Sais {
 
     // name LMS substrings in SA order; two consecutive LMS positions
     // differ by >= 2, so names live at index j/2 (half-size array)
-    std::vector<I> name((size_t)(n / 2 + 1), (I)-1);
+    std::vector<I> name((size_t)(n / 2 + 1), EMPTY);
     I names = 0;
-    I prev = -1;
+    I prev = EMPTY;
     constexpr I PF = 24;
     for (I i = 0; i < n; ++i) {
       if (i + PF < n) {
         I jp = SA[i + PF];
-        if (jp > 0) {
+        if (jp != EMPTY && jp != 0) {
           __builtin_prefetch(&T[jp]);
           __builtin_prefetch(&ls[(size_t)jp]);
           __builtin_prefetch(&name[(size_t)(jp / 2)], 1);
         }
       }
       I j = SA[i];
-      if (j <= 0 || !is_lms(j)) continue;
-      if (prev < 0) {
+      if (j == EMPTY || j == 0 || !is_lms(j)) continue;
+      if (prev == EMPTY) {
         name[(size_t)(j / 2)] = names++;
       } else {
         // compare LMS substrings at prev and j
@@ -209,6 +226,13 @@ struct Sais {
 }  // namespace
 
 extern "C" {
+
+// Production path: u32 output, valid for every text within the index
+// format's 4 Gbp limit (n < 2^32 - 1 so EMPTY stays distinguishable).
+int sais_u8_u32(const uint8_t* t, int64_t n, uint32_t* sa) {
+  if (n < 0 || n >= (int64_t)0xFFFFFFFF) return 1;
+  return Sais<uint32_t>::run(t, (uint32_t)n, (uint32_t)256, sa);
+}
 
 int sais_u8(const uint8_t* t, int64_t n, int64_t* sa) {
   if (n < 0) return 1;

@@ -35,12 +35,14 @@ def test_suffix_array_matches_bruteforce(rng, n):
     assert np.array_equal(suffix_array(codes), brute_suffix_array(codes))
 
 
-def test_native_sais_int32_and_int64_paths(rng):
-    """Native SA-IS agrees with the numpy oracle on both index widths.
+@pytest.mark.parametrize("text", ["random", "repeats"])
+def test_native_sais_all_index_widths(rng, text):
+    """Every native SA-IS template (uint32 production path, int32
+    convert path, int64 hypothetical->4Gbp path) produces the same
+    suffix array, verified against direct suffix comparison.
 
-    The int64 template is what a >2^31-char (human-scale, 3.1 Gbp) build
-    runs; exercise it via the force64 entry point so the human path is
-    covered without a multi-GB fixture.
+    ``repeats`` stresses satellite-like text (tandem 171-mers + STR
+    runs) where LMS naming hits long equal substrings.
     """
     import ctypes
 
@@ -48,11 +50,18 @@ def test_native_sais_int32_and_int64_paths(rng):
 
     if not sais_native.available():
         pytest.skip("no native compiler")
-    codes = rng.integers(0, 4, size=50_000).astype(np.uint8)
-    # numpy prefix-doubling oracle (bypass the native fast path)
-    rank = np.zeros(len(codes) + 1, dtype=np.int64)
+    if text == "random":
+        codes = rng.integers(0, 4, size=50_000).astype(np.uint8)
+    else:
+        mono = rng.integers(0, 4, size=171).astype(np.uint8)
+        sat = np.tile(mono, 120)
+        strs = np.tile(rng.integers(0, 4, size=3).astype(np.uint8), 2000)
+        rnd = rng.integers(0, 4, size=20_000).astype(np.uint8)
+        codes = np.concatenate([rnd[:7000], sat, strs, rnd[7000:], sat])
+    # production path: uint32 template
     expect = sais_native.suffix_array_sais(codes)
     n = len(codes)
+    assert expect.dtype == np.uint32 and expect[0] == n
     # spot-check suffix order at random rows against direct comparison
     rows = rng.integers(1, n, size=200)
     for r in rows:
@@ -61,8 +70,16 @@ def test_native_sais_int32_and_int64_paths(rng):
             continue
         sa_, sb_ = codes[a:].tobytes(), codes[b:].tobytes()
         assert sa_ < sb_ or (sa_ == sb_ and len(sa_) < len(sb_))
-    # int64 template parity with the int32 result
     lib = sais_native._load()
+    # int32 convert path (sais_u8 below the 2^31 threshold)
+    sa32 = np.empty(n, dtype=np.int64)
+    rc = lib.sais_u8(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        sa32.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    assert rc == 0
+    assert np.array_equal(sa32, expect[1:].astype(np.int64))
+    # int64 template parity
     lib.sais_u8_force64.restype = ctypes.c_int
     lib.sais_u8_force64.argtypes = lib.sais_u8.argtypes
     sa64 = np.empty(n, dtype=np.int64)
