@@ -25,10 +25,11 @@ headline number survives a tight driver budget):
   human_scale 3.1Gbp repeat-structured genome, sa_rate=2, lut_k=13 —
               THE HEADLINE when its cached index exists (build with
               tools/build_bench_indexes.py; hour-class host job)
+  human_sam   3.1Gbp index with SAM text output — right after
+              human_scale, sharing its ~550s device-index upload
   chr1_scale  250Mbp index, sa_rate=2, lut_k=13 — real FM extension
               steps past the LUT + sampled-SA LF walks on the hot path
   se_scale    the reference's own headline shape: 1M x 100bp SE
-  human_sam   3.1Gbp index with SAM text output (budget-gated, last)
 
 `value` (headline) = median of the warm-pass elapsed rates of the best
 available profile (human_scale > main), pass 0 dropped (residual
@@ -56,7 +57,13 @@ BASELINE_READS_PER_S = 27_000.0  # 1M reads / 37.04s (BGS-Experiment.log:8-11)
 
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", 400_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 100_000))
-SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 200_000))
+# 16 batches: the pipeline defers Phase2/rescue work one batch and
+# drains the remainder after the last batch, so a 2-batch profile
+# charged ~40% of its wall time to an end-of-run tail that a
+# production-sized run amortizes away (measured: batches [1.33, 3.65]s
+# at 3.1Gbp — steady state 150k reads/s, 2-batch elapsed rate 77k).
+# The reference's own experiment shape is 1M+ reads end-to-end.
+SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", 1_600_000))
 # total passes per profile; pass 0 absorbs residual compiles and is
 # dropped from the stats, so 4 = three clean timed passes whose median
 # resists the relay's ~30% variance (VERDICT r4 weak #5)
@@ -243,26 +250,28 @@ def _pass_stats(pass_times: list[tuple[float, list[float]]], reads: int,
 
 
 def run_profile(name, index, codes, writer_factory, n_pairs, batch,
-                excluded=None) -> dict:
+                excluded=None, didx=None) -> dict:
     import jax
 
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.overlap import AsyncFlusher
     from soap3dp_tpu.pipeline.pair import (PairSummary, Phase2Queue,
                                            RescueQueue, align_pair_batch,
                                            dispatch_pair_search)
     from soap3dp_tpu.utils import timers
 
-    t0 = time.time()
-    didx = device_index(index)
-    # jax.block_until_ready does NOT actually block on the remote-relay
-    # backend (NEXT.md); a scalar device_get drains the transfer queue,
-    # so upload time is reported honestly here instead of bleeding into
-    # the warmup (compile) figure below
-    np.asarray(jax.device_get(didx.primary))
-    print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    if didx is None:
+        t0 = time.time()
+        didx = device_index(index)
+        # jax.block_until_ready does NOT actually block on the
+        # remote-relay backend (NEXT.md); a scalar device_get drains the
+        # transfer queue, so upload time is reported honestly here
+        # instead of bleeding into the warmup (compile) figure below
+        np.asarray(jax.device_get(didx.primary))
+        print(f"[bench:{name}] index upload: {time.time() - t0:.1f}s",
+              file=sys.stderr)
 
     rng = np.random.default_rng(11)
     # Soap3MisMatchAllow=3: comparable with the reference's <=3-mismatch
@@ -311,6 +320,7 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch,
         batch_times = []
         rq = RescueQueue(index, didx, opts)
         p2q = Phase2Queue(index, didx, opts)
+        flusher = AsyncFlusher(rq, out)
         pending = dispatch_pair_search(didx, *batches[0], opts)
         for i, (sb1, sb2) in enumerate(batches):
             tb = time.time()
@@ -322,8 +332,10 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch,
                                        phase2_queue=p2q))
             if i + 1 == len(batches):
                 total.add(p2q.process(out, rq))
-            if rq.should_flush() or nxt is None:
-                total.add(rq.flush(out))
+                flusher.submit()
+                flusher.join(total.add)
+            else:
+                flusher.maybe_submit()
             pending = nxt
             batch_times.append(time.time() - tb)
         elapsed = time.time() - t0
@@ -351,6 +363,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
     from soap3dp_tpu.fm.fmindex import device_index
     from soap3dp_tpu.io.fastq import ReadBatch
     from soap3dp_tpu.pipeline.options import AlignOptions
+    from soap3dp_tpu.pipeline.overlap import AsyncFlusher
     from soap3dp_tpu.pipeline.single import (BatchSummary, SalvageQueue,
                                              SinglePhase2Queue,
                                              align_single_batch,
@@ -400,6 +413,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
         batch_times = []
         sq = SalvageQueue(index, didx, opts)
         p2q = SinglePhase2Queue(index, didx, opts)
+        flusher = AsyncFlusher(sq, out)
         pending = dispatch_single_search(didx, batches[0], opts)
         for i, sb in enumerate(batches):
             tb = time.time()
@@ -411,8 +425,10 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
                                          phase2_queue=p2q))
             if i + 1 == len(batches):
                 total.add(p2q.process(out, sq))
-            if sq.should_flush() or nxt is None:
-                total.add(sq.flush(out))
+                flusher.submit()
+                flusher.join(total.add)
+            else:
+                flusher.maybe_submit()
             pending = nxt
             batch_times.append(time.time() - tb)
         elapsed = time.time() - t0
@@ -513,18 +529,33 @@ def main() -> int:
                                               samw, N_PAIRS, BATCH)
             emit(profiles)
         # human_scale runs next (VERDICT r3 #1): it is the headline
-        # and must land inside the driver's budget
-        if want("human_scale"):
+        # and must land inside the driver's budget. human_sam follows
+        # immediately, reusing the SAME device index — the 3.1Gbp
+        # upload costs ~550s of relay time and paying it twice was the
+        # whole budget risk (VERDICT r4 item 1).
+        if want("human_scale") or want("human_sam"):
             hg = get_hg_index()
             if hg is not None:
+                from soap3dp_tpu.fm.fmindex import device_index
                 indexh, codesh, excl = hg
-                profiles["human_scale"] = run_profile(
-                    "human_scale", indexh, codesh, succ, SCALE_PAIRS,
-                    BATCH, excluded=excl)
-                del indexh, codesh
-                emit(profiles)
+                t0 = time.time()
+                didxh = device_index(indexh)
+                np.asarray(jax.device_get(didxh.primary))
+                print(f"[bench:human] index upload: {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+                if want("human_scale"):
+                    profiles["human_scale"] = run_profile(
+                        "human_scale", indexh, codesh, succ, SCALE_PAIRS,
+                        BATCH, excluded=excl, didx=didxh)
+                    emit(profiles)
+                if want("human_sam"):
+                    profiles["human_sam"] = run_profile(
+                        "human_sam", indexh, codesh, samw, SCALE_PAIRS,
+                        BATCH, excluded=excl, didx=didxh)
+                    emit(profiles)
+                del indexh, codesh, didxh
             else:
-                print("[bench] human_scale skipped: no cached 3.1Gbp "
+                print("[bench] human profiles skipped: no cached 3.1Gbp "
                       "repeat-genome index (tools/build_bench_indexes.py)",
                       file=sys.stderr)
         if want("chr1_scale") or want("se_scale"):
@@ -543,17 +574,6 @@ def main() -> int:
                     2 * BATCH)
                 emit(profiles)
             del index250, codes250
-        # human-scale SAM text output (VERDICT r3 #4): last, so the
-        # budget gate protects the headline profiles above
-        if want("human_sam"):
-            hg = get_hg_index()
-            if hg is not None:
-                indexh, codesh, excl = hg
-                profiles["human_sam"] = run_profile(
-                    "human_sam", indexh, codesh, samw, SCALE_PAIRS,
-                    BATCH, excluded=excl)
-                del indexh, codesh
-                emit(profiles)
     finally:
         # final flush: identical to the last incremental emit, but it
         # also covers a SIGTERM mid-profile (timeout(1) sends TERM)

@@ -212,8 +212,11 @@ def run_single(args) -> int:
     with _writer(opts, index, opts.output_prefix) as w:
         from soap3dp_tpu.pipeline.single import SinglePhase2Queue
 
+        from soap3dp_tpu.pipeline.overlap import AsyncFlusher
+
         sq = SalvageQueue(index, didx, opts)
         spq = SinglePhase2Queue(index, didx, opts)
+        flusher = AsyncFlusher(sq, w)
         # double-buffered batch loop (same pattern as run_pair): the
         # next batch's device search runs during this batch's host work
         it = prefetch(_stride(read_single(args.reads, opts.batch_size,
@@ -240,15 +243,15 @@ def run_single(args) -> int:
                                                 phase2_queue=spq),
                 BatchSummary, (cur,), pending=pending)
             total.add(s)
-            if sq.should_flush():
-                total.add(sq.flush(w))
+            flusher.maybe_submit()
             print(f"[soap3dp] batch: {s.num_reads} reads, "
                   f"{s.aligned_bwt} BWT-aligned ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
             cur, pending = nxt, nxt_pending
         # drain the last batch's deferred escalations, then the salvage queue
         total.add(spq.process(w, sq))
-        total.add(sq.flush(w))
+        flusher.submit()
+        flusher.join(total.add)
     _summary(opts, total)
     if hosts > 1:
         _merge_summary(total, hosts)
@@ -291,16 +294,19 @@ def run_pair(args) -> int:
                               hosts, host_id))
         from soap3dp_tpu.utils import timers
 
-        def _flush_rescue():
-            qn = rq.pending
-            fs = rq.flush(w)
-            total.add(fs)
+        from soap3dp_tpu.pipeline.overlap import AsyncFlusher
+
+        def _report_flush(qn, fs):
             if qn:
                 print(f"[soap3dp] rescue flush: {qn} pairs -> "
                       f"{fs.paired_dp} DP-paired, "
                       f"{fs.single_rescued} singly aligned, "
                       f"{fs.unaligned} unaligned", file=sys.stderr)
 
+        # rescue flushes run on a worker thread: their wall time is
+        # mostly device waits, which now overlap the next batches'
+        # dispatch + host work (pipeline/overlap.py)
+        flusher = AsyncFlusher(rq, w, on_flush=_report_flush)
         cur = next(it, None)
         if cur:
             _fix_quals(opts, *cur)
@@ -322,15 +328,15 @@ def run_pair(args) -> int:
                                                    phase2_queue=p2q),
                 PairSummary, (b1, b2), pending=pending)
             total.add(s)
-            if rq.should_flush():
-                _flush_rescue()
+            flusher.maybe_submit()
             cur, pending = nxt, nxt_pending
             print(f"[soap3dp] batch: {s.num_pairs} pairs, "
                   f"{s.paired_bwt} BWT-paired ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
         # drain the last batch's deferred escalations, then the rescue queue
         total.add(p2q.process(w, rq))
-        _flush_rescue()
+        flusher.submit()
+        flusher.join(total.add)
     _summary(opts, total)
     if hosts > 1:
         _merge_summary(total, hosts)

@@ -65,6 +65,13 @@ class AsyncWriter:
     two-source seq_codes form), so the invariant extends to those:
     ReadBatch matrices are never mutated in place after construction
     (fastq.py marks them read-only to enforce it).
+
+    The producer side is thread-safe: the main batch loop and an
+    AsyncFlusher rescue worker (pipeline/overlap.py) may interleave
+    write/write_block calls — a lock keeps each record chunk intact;
+    cross-thread record ORDER is unspecified, which is fine for the
+    SO:unsorted output contract. The single consumer thread still owns
+    the underlying writer exclusively.
     """
 
     # per-record writes are batched before crossing the thread boundary:
@@ -80,6 +87,7 @@ class AsyncWriter:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: list[BaseException] = []
         self._buf: list = []
+        self._lock = threading.Lock()
         if hasattr(inner, "write_block"):
             self.write_block = self._make("write_block")
         self._t = threading.Thread(target=self._run, daemon=True,
@@ -125,19 +133,22 @@ class AsyncWriter:
 
     def _make(self, name):
         def call(*args, **kw):
-            self._flush_buf()  # keep record/block emission order
-            self._put(name, args, kw)
+            with self._lock:
+                self._flush_buf()  # keep record/block emission order
+                self._put(name, args, kw)
         return call
 
     def write(self, rec):
         if self._err:
             raise self._err[0]
-        self._buf.append(rec)
-        if len(self._buf) >= self.RECORD_CHUNK:
-            self._flush_buf()
+        with self._lock:
+            self._buf.append(rec)
+            if len(self._buf) >= self.RECORD_CHUNK:
+                self._flush_buf()
 
     def close(self):
-        self._flush_buf()
+        with self._lock:
+            self._flush_buf()
         self._q.put(_SENTINEL)
         with timers.stage("io.writer_drain"):
             self._t.join()

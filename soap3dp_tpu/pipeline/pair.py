@@ -551,13 +551,26 @@ class RescueQueue:
     def should_flush(self) -> bool:
         return self._pending >= self.flush_pairs
 
+    def drain(self) -> list[tuple]:
+        """Atomically take everything queued (main-thread only); pass
+        the result to flush_items — possibly on a worker thread."""
+        items, self._items, self._pending = self._items, [], 0
+        return items
+
     def flush(self, writer) -> PairSummary:
         """Run phases B-E on everything queued; returns their summary
         (num_pairs = 0: the pairs were already counted at phase A)."""
+        return self.flush_items(self.drain(), writer)
+
+    def flush_items(self, items: list[tuple], writer) -> PairSummary:
+        """Phases B-E over a drained item list. Touches no queue state,
+        so it may run on a worker thread (pipeline.overlap.AsyncFlusher)
+        while the main loop keeps adding to the queue — the flush's
+        device waits then overlap the next batches' host work. The
+        writer must be thread-safe in that case (io.aio.AsyncWriter)."""
         summary = PairSummary()
-        if not self._items:
+        if not items:
             return summary
-        items, self._items, self._pending = self._items, [], 0
         cb1 = _concat_batches([it[0] for it in items])
         cb2 = _concat_batches([it[1] for it in items])
         t1 = hits.concat_tables([it[2] for it in items])

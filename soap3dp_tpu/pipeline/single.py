@@ -336,13 +336,23 @@ class SalvageQueue:
     def should_flush(self) -> bool:
         return self._pending >= self.flush_reads
 
+    def drain(self) -> list:
+        """Atomically take everything queued (main-thread only)."""
+        items, self._items, self._pending = self._items, [], 0
+        return items
+
     def flush(self, writer) -> BatchSummary:
+        return self.flush_items(self.drain(), writer)
+
+    def flush_items(self, items: list, writer) -> BatchSummary:
+        """Salvage over a drained item list; queue-state-free so it can
+        run on a worker thread (pipeline.overlap.AsyncFlusher) with a
+        thread-safe writer."""
         from soap3dp_tpu.pipeline.pair import _concat_batches
 
         summary = BatchSummary()
-        if not self._items:
+        if not items:
             return summary
-        items, self._items, self._pending = self._items, [], 0
         cb = _concat_batches(items)
         n = _dp_salvage(self.index, self.didx, cb,
                         np.arange(len(cb)), self.opts, writer)
