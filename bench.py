@@ -331,6 +331,9 @@ def run_profile(name, index, codes, writer_factory, n_pairs, batch,
                                        rescue_queue=rq,
                                        phase2_queue=p2q))
             if i + 1 == len(batches):
+                # flush the backlog on the worker FIRST so it overlaps
+                # the last batch's deferred escalations (p2q host work)
+                flusher.submit()
                 total.add(p2q.process(out, rq))
                 flusher.submit()
                 flusher.join(total.add)
@@ -424,6 +427,7 @@ def run_profile_single(name, index, codes, writer_factory, n_reads,
                                          pending_search=pending,
                                          phase2_queue=p2q))
             if i + 1 == len(batches):
+                flusher.submit()
                 total.add(p2q.process(out, sq))
                 flusher.submit()
                 flusher.join(total.add)

@@ -248,7 +248,10 @@ def run_single(args) -> int:
                   f"{s.aligned_bwt} BWT-aligned ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
             cur, pending = nxt, nxt_pending
-        # drain the last batch's deferred escalations, then the salvage queue
+        # end-of-run drain: flush the salvage backlog on the worker
+        # FIRST so it overlaps the last batch's deferred escalations
+        # (spq host work), then flush what those escalations re-queued
+        flusher.submit()
         total.add(spq.process(w, sq))
         flusher.submit()
         flusher.join(total.add)
@@ -333,7 +336,10 @@ def run_pair(args) -> int:
             print(f"[soap3dp] batch: {s.num_pairs} pairs, "
                   f"{s.paired_bwt} BWT-paired ({time.time() - t0:.2f}s)",
                   file=sys.stderr)
-        # drain the last batch's deferred escalations, then the rescue queue
+        # end-of-run drain: flush the rescue backlog on the worker FIRST
+        # so it overlaps the last batch's deferred escalations (p2q host
+        # work), then flush what those escalations re-queued
+        flusher.submit()
         total.add(p2q.process(w, rq))
         flusher.submit()
         flusher.join(total.add)

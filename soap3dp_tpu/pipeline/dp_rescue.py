@@ -382,6 +382,40 @@ class DPResult:
     problem: np.ndarray   # index of the surviving input problem
 
 
+def empty_dpresult() -> DPResult:
+    z = np.zeros(0, np.int64)
+    return DPResult(
+        read=z.astype(np.int32), strand=z.astype(np.int8), pos=z,
+        score=z.astype(np.int32), ops=np.zeros((0, 1), np.int32),
+        cnts=np.zeros((0, 1), np.int32), nrun=np.zeros(0, np.int32),
+        win_start=z, n_best_cells=z.astype(np.int32), problem=z)
+
+
+def concat_dpresults(parts: list[DPResult]) -> DPResult:
+    """Concatenate DPResults (ops/cnts right-padded to a common width)."""
+    parts = [p for p in parts if p is not None and p.read.size]
+    if not parts:
+        return empty_dpresult()
+    if len(parts) == 1:
+        return parts[0]
+    MR = max(p.ops.shape[1] for p in parts)
+
+    def padw(a):
+        return np.pad(a, ((0, 0), (0, MR - a.shape[1])))
+
+    return DPResult(
+        read=np.concatenate([p.read for p in parts]),
+        strand=np.concatenate([p.strand for p in parts]),
+        pos=np.concatenate([p.pos for p in parts]),
+        score=np.concatenate([p.score for p in parts]),
+        ops=np.concatenate([padw(p.ops) for p in parts]),
+        cnts=np.concatenate([padw(p.cnts) for p in parts]),
+        nrun=np.concatenate([p.nrun for p in parts]),
+        win_start=np.concatenate([p.win_start for p in parts]),
+        n_best_cells=np.concatenate([p.n_best_cells for p in parts]),
+        problem=np.concatenate([p.problem for p in parts]))
+
+
 def run_banded_dp(
     idx: DeviceIndex,
     reads: np.ndarray,        # (B, L) forward codes of the subset

@@ -43,6 +43,18 @@ class AlignOptions:
     # keep device-truncated hit sets; ProceedDPForTooManyHits routing
     # applies) — bounds host work on satellite/microsat-dense genomes
     host_realign_budget: int = 256
+    # half-aligned rescue: DP a NARROW window centered on the gapless
+    # prescan's best offset (pad bases each side) instead of the full
+    # min..max-insert window; candidates that fail the narrow DP and
+    # whose window minimum-mismatch is <= half_narrow_fb_mm re-run on
+    # the full window (a plausibly-elsewhere placement). 0 disables
+    # (always full window — the reference's HalfEndAlgnBatch posture,
+    # DV-DPfunctions.cu:2027-2109). The gapless argmax tracks the DP
+    # optimum through mismatches, clips AND small indels; divergence
+    # is measured by tools/measure_storm_divergence.py + the planted
+    # accuracy harness.
+    half_narrow_pad: int = 32
+    half_narrow_fb_mm: int = 12
     soap3_mismatch_allow: int = 2
     min_mapq: int = 1
     max_mapq: int = 40

@@ -37,19 +37,32 @@ class AsyncFlusher:
     runs on the worker after each flush — for per-flush logging.
     """
 
-    def __init__(self, queue, writer, on_flush: Callable | None = None):
+    def __init__(self, queue, writer, on_flush: Callable | None = None,
+                 eager_min: int = 2048):
         import concurrent.futures
 
         self.queue = queue
         self.writer = writer
         self.on_flush = on_flush
+        self.eager_min = eager_min
         self._ex = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="soap3dp-flush")
         self._futs: list = []
         self._lock = threading.Lock()
 
     def maybe_submit(self) -> None:
+        """Submit when the queue's own threshold fires — or eagerly
+        when the worker is IDLE and at least ``eager_min`` items wait.
+        Eager drains keep the end-of-run backlog (which cannot overlap
+        anything) near one batch's worth instead of up to the full
+        flush threshold — targeting the 9.7s final-batch drain the
+        3.1 Gbp bench showed with threshold-only flushing. The idle
+        gate bounds flush count by batch count, so per-flush fixed
+        costs stay amortized."""
         if self.queue.should_flush():
+            self.submit()
+        elif (self.queue.pending >= self.eager_min
+              and all(f.done() for f in self._futs)):
             self.submit()
 
     def submit(self) -> None:

@@ -1201,28 +1201,54 @@ def _half_aligned_round(index, didx, b1, b2, t1, t2, st1, st2, half,
         dpos = (win_start + poff).astype(np.uint64)
         direct &= ~sam.crosses_boundary(index, dpos, mlens.astype(np.int64))
     dp_idx = np.flatnonzero(~direct)
-    if dp_idx.size:
-        res = dp_rescue.run_banded_dp(
+
+    def _dp(sub, ws_s, wl_s):
+        """Banded DP over a candidate subset; problem ids remapped to
+        full-candidate space so all branches share one index space."""
+        if not sub.size:
+            return None
+        mw = int(wl_s.max())
+        r = dp_rescue.run_banded_dp(
             didx, mreads, mlens,
-            dp_rescue.Candidates(read=cand.read[dp_idx],
-                                 strand=mstrand[dp_idx],
-                                 pos=win_start[dp_idx]),
-            win_start[dp_idx], win_len[dp_idx],
-            int(win_len[dp_idx].max()),
-            clip_l[dp_idx], clip_r[dp_idx],
-            np.full(len(dp_idx), max_win + 1, np.int32),
-            np.zeros(len(dp_idx), np.int32),
-            cutoff[dp_idx], sc, index_host=index)
-        # remap problem ids from dp_idx-subset space to full-candidate
-        # space so they share the direct branch's index space below
-        res = dataclasses.replace(res, problem=dp_idx[res.problem])
+            dp_rescue.Candidates(read=cand.read[sub], strand=mstrand[sub],
+                                 pos=ws_s),
+            ws_s, wl_s, mw, clip_l[sub], clip_r[sub],
+            np.full(len(sub), mw + 1, np.int32),
+            np.zeros(len(sub), np.int32),
+            cutoff[sub], sc, index_host=index)
+        return dataclasses.replace(r, problem=sub[r.problem])
+
+    import os as _os
+    pad_n = int(_os.environ.get("SOAP3DP_HALF_NARROW_PAD",
+                                opts.half_narrow_pad))
+    if dp_idx.size and pad_n > 0:
+        # narrow window centered on the gapless argmax: the prescan's
+        # best offset tracks the DP optimum through mismatches, clips
+        # and <= pad_n-base indels, at ~(len+2*pad)/insert-window the
+        # diagonal cost (the dominant rescue device time at 3.1 Gbp:
+        # BC.half_rescue 18s/pass full-window). Failures with a
+        # plausibly-elsewhere placement (window min-mm <= fb_mm) re-run
+        # on the full window.
+        ml = mlens[dp_idx].astype(np.int64)
+        base = win_start[dp_idx]
+        off = poff[dp_idx].astype(np.int64)
+        ns = np.maximum(base + off - pad_n, base)
+        ne = np.minimum(base + off + ml + pad_n,
+                        base + win_len[dp_idx].astype(np.int64))
+        rn = _dp(dp_idx, ns, (ne - ns).astype(np.int32))
+        ok = np.zeros(len(pair), bool)
+        if rn is not None:
+            ok[rn.problem] = True
+        fb = dp_idx[~ok[dp_idx]
+                    & (pmm[dp_idx] <= int(opts.half_narrow_fb_mm))]
+        rf = _dp(fb, win_start[fb], win_len[fb].astype(np.int32))
+        res = dp_rescue.concat_dpresults([rn, rf])
     else:
-        z = np.zeros(0, np.int64)
-        res = dp_rescue.DPResult(
-            read=z.astype(np.int32), strand=z.astype(np.int8), pos=z,
-            score=z.astype(np.int32), ops=np.zeros((0, 1), np.int32),
-            cnts=np.zeros((0, 1), np.int32), nrun=np.zeros(0, np.int32),
-            win_start=z, n_best_cells=z.astype(np.int32), problem=z)
+        res = _dp(dp_idx, win_start[dp_idx],
+                  win_len[dp_idx].astype(np.int32)) if dp_idx.size \
+            else None
+        if res is None:
+            res = dp_rescue.empty_dpresult()
     di = np.flatnonzero(direct)
     if di.size:
         from soap3dp_tpu.kernels.banded_dp import OP_MATCH

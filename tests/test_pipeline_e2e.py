@@ -1043,72 +1043,6 @@ def test_async_flusher_matches_sync_flush(small_index, small_device_index,
     synchronous flush emits — order-insensitive, SO:unsorted output."""
     from soap3dp_tpu.io.aio import AsyncWriter
     from soap3dp_tpu.pipeline.overlap import AsyncFlusher
-    from soap3dp_tpu.pipeline.pair import RescueQueue
-
-    codes = small_genome.codes
-    rng2 = np.random.default_rng(61)
-    L, insert, N, NB = 60, 200, 48, 3
-
-    def batches():
-        out = []
-        for _ in range(NB):
-            s1, s2 = [], []
-            for i in range(N):
-                p = int(rng2.integers(100, len(codes) - 400))
-                left = codes[p:p + L].copy()
-                right = dna.revcomp_codes(codes[p + insert - L:p + insert])
-                if i % 3 == 0:  # indels -> rescue path
-                    left = np.concatenate(
-                        [left[:20], left[26:], rng2.integers(
-                            0, 4, 6).astype(np.uint8)])
-                s1.append(left)
-                s2.append(right)
-            out.append((make_batch(s1, max_len=L), make_batch(s2, max_len=L)))
-        return out
-
-    def run(use_async):
-        rng3 = np.random.default_rng(61)  # same reads both runs
-        nonlocal rng2
-        rng2 = rng3
-        opts = AlignOptions(min_insert=100, max_insert=300)
-        buf = io.BytesIO()
-        w = AsyncWriter(SamWriter(buf, small_index))
-        rq = RescueQueue(small_index, small_device_index, opts,
-                         flush_pairs=32)  # tiny: force mid-run flushes
-        total = PairSummary()
-        fl = AsyncFlusher(rq, w) if use_async else None
-        for b1, b2 in batches():
-            total.add(align_pair_batch(small_index, small_device_index,
-                                       b1, b2, opts, w, rescue_queue=rq))
-            if use_async:
-                fl.maybe_submit()
-            elif rq.should_flush():
-                total.add(rq.flush(w))
-        if use_async:
-            fl.submit()
-            fl.join(total.add)
-        else:
-            total.add(rq.flush(w))
-        w.close()
-        recs = sorted(l for l in buf.getvalue().decode().splitlines()
-                      if not l.startswith("@"))
-        return total, recs
-
-    t_sync, r_sync = run(False)
-    t_async, r_async = run(True)
-    assert r_sync == r_async
-    assert t_sync.num_records == t_async.num_records
-    assert t_sync.paired_dp == t_async.paired_dp
-    assert t_sync.unaligned == t_async.unaligned
-
-
-def test_async_flusher_matches_sync_flush(small_index, small_device_index,
-                                          small_genome):
-    """AsyncFlusher (rescue flush on a worker thread overlapping the
-    main loop, pipeline/overlap.py) must emit exactly the records a
-    synchronous flush emits — order-insensitive, SO:unsorted output."""
-    from soap3dp_tpu.io.aio import AsyncWriter
-    from soap3dp_tpu.pipeline.overlap import AsyncFlusher
     from soap3dp_tpu.pipeline.pair import PairSummary, RescueQueue
 
     codes = small_genome.codes
@@ -1122,7 +1056,9 @@ def test_async_flusher_matches_sync_flush(small_index, small_device_index,
         rq = RescueQueue(small_index, small_device_index, opts,
                          flush_pairs=32)  # tiny: force mid-run flushes
         total = PairSummary()
-        fl = AsyncFlusher(rq, w) if use_async else None
+        # eager_min=8 exercises the idle-worker eager drain alongside
+        # the flush_pairs threshold path
+        fl = AsyncFlusher(rq, w, eager_min=8) if use_async else None
         for _ in range(NB):
             s1, s2 = [], []
             for i in range(N):
